@@ -1,0 +1,58 @@
+import numpy as np
+import pytest
+
+from topaz_tpu.ops.gmm import gmm_fit, norm_fit, normalize
+
+from reference_oracle import ref_module, reference_available
+
+
+def synthetic_mixture(rng, n=20000, pi=0.3, mu0=0.0, mu1=2.0, std=0.7):
+    k = rng.random(n) < pi
+    x = np.where(k, rng.normal(mu1, std, n), rng.normal(mu0, std, n))
+    return x.astype(np.float32)
+
+
+def test_gmm_fit_recovers_mixture(rng):
+    x = synthetic_mixture(rng)
+    import jax.numpy as jnp
+
+    split = np.quantile(x, 1 - 0.3)
+    logp, mu0, var0, mu1, var1, pi = gmm_fit(jnp.asarray(x), 0.3, split,
+                                             alpha=900, beta=1)
+    assert abs(float(mu0) - 0.0) < 0.1
+    assert abs(float(mu1) - 2.0) < 0.1
+    assert abs(float(np.sqrt(var1)) - 0.7) < 0.1
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_norm_fit_matches_reference(rng):
+    ref_stats = ref_module("topaz.stats")
+    x = synthetic_mixture(rng, n=8000)
+    import jax.numpy as jnp
+
+    mu, std, pi, logp, mus, stds, pis, logps = norm_fit(jnp.asarray(x))
+    rmu, rstd, rpi, rlogp, rmus, rstds, rpis, rlogps = ref_stats.norm_fit(
+        x, alpha=900, beta=1
+    )
+    assert abs(float(mu) - rmu) < 5e-3 * max(1.0, abs(rmu))
+    assert abs(float(std) - rstd) < 5e-3 * rstd
+    assert abs(float(pi) - rpi) < 5e-3
+    # per-init parameters should agree too
+    np.testing.assert_allclose(np.asarray(mus), rmus, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(stds), rstds, rtol=2e-2, atol=2e-2)
+
+
+def test_normalize_affine(rng):
+    x = rng.normal(3.0, 2.0, size=(64, 64)).astype(np.float32)
+    y, md = normalize(x, method="affine")
+    assert abs(y.mean()) < 1e-5
+    assert abs(y.std() - 1) < 1e-5
+    assert md["pi"] == 1
+
+
+def test_normalize_gmm_output_stats(rng):
+    x = synthetic_mixture(rng, n=16384).reshape(128, 128)
+    y, md = normalize(x, method="gmm")
+    assert y.dtype == np.float32
+    assert md["std"] > 0
+    assert 0 < md["pi"] <= 1

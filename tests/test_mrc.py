@@ -1,0 +1,87 @@
+import numpy as np
+import pytest
+
+from topaz_tpu.io import mrc
+
+from reference_oracle import ref_module, reference_available
+
+
+def test_roundtrip_2d(tmp_path, rng):
+    x = rng.normal(size=(61, 73)).astype(np.float32)
+    path = str(tmp_path / "img.mrc")
+    mrc.write(path, x)
+    y, header, ext = mrc.read(path)
+    assert y.shape == x.shape
+    np.testing.assert_array_equal(y, x)
+    assert int(header.mode) == 2
+    assert int(header.nx) == 73 and int(header.ny) == 61 and int(header.nz) == 1
+    assert np.isclose(float(header.amean), x.mean())
+    assert np.isclose(float(header.rms), x.std())
+
+
+def test_roundtrip_3d(tmp_path, rng):
+    x = rng.normal(size=(5, 16, 24)).astype(np.float32)
+    path = str(tmp_path / "vol.mrc")
+    mrc.write(path, x)
+    y, header, _ = mrc.read(path)
+    assert y.shape == x.shape
+    np.testing.assert_array_equal(y, x)
+
+
+def test_int16_mode(tmp_path, rng):
+    x = rng.integers(-100, 100, size=(10, 12)).astype(np.int16)
+    header = mrc.default_header((1, 10, 12), dtype=np.int16)
+    path = str(tmp_path / "i16.mrc")
+    with open(path, "wb") as f:
+        f.write(header.tobytes())
+        f.write(x.tobytes())
+    y, h, _ = mrc.read(path)
+    assert y.dtype == np.int16
+    np.testing.assert_array_equal(y, x)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_parity_with_reference_writer(tmp_path, rng):
+    """Our parser reads the reference's bytes and vice versa."""
+    ref_mrc = ref_module("topaz.mrc")
+    x = rng.normal(size=(33, 47)).astype(np.float32)
+
+    # reference writes, we parse
+    p1 = tmp_path / "ref.mrc"
+    with open(p1, "wb") as f:
+        ref_mrc.write(f, x[np.newaxis])
+    ours, oh, _ = mrc.read(str(p1))
+    np.testing.assert_array_equal(ours, x)
+
+    # we write, reference parses
+    p2 = str(tmp_path / "ours.mrc")
+    mrc.write(p2, x)
+    with open(p2, "rb") as f:
+        theirs, th, _ = ref_mrc.parse(f.read())
+    np.testing.assert_array_equal(theirs, x)
+    assert th.nx == 47 and th.ny == 33 and th.nz == 1
+    assert th.mode == 2
+
+    # byte-identical headers for identical inputs
+    with open(p1, "rb") as f:
+        b1 = f.read()
+    with open(p2, "rb") as f:
+        b2 = f.read()
+    assert b1 == b2
+
+
+def test_memmap_crop(tmp_path, rng):
+    x = rng.normal(size=(40, 50)).astype(np.float32)
+    path = str(tmp_path / "img.mrc")
+    mrc.write(path, x)
+    mm = mrc.MrcMemmap(path)
+    assert mm.shape == (40, 50)
+    np.testing.assert_array_equal(mm.crop(5, 7, 10, 12), x[5:15, 7:19])
+    # out-of-bounds regions zero-padded
+    c = mm.crop(-3, -4, 10, 10)
+    assert c.shape == (10, 10)
+    assert np.all(c[:3, :] == 0) and np.all(c[:, :4] == 0)
+    np.testing.assert_array_equal(c[3:, 4:], x[:7, :6])
+    c2 = mm.crop(35, 45, 10, 10)
+    np.testing.assert_array_equal(c2[:5, :5], x[35:, 45:])
+    assert np.all(c2[5:, :] == 0) and np.all(c2[:, 5:] == 0)

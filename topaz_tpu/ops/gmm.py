@@ -1,0 +1,253 @@
+"""Two-component GMM intensity normalization, TPU-native.
+
+Reimplements the EM procedure of topaz/stats.py:36-214 as pure jittable JAX:
+  * the reference loops 12 pi initializations serially, each an EM loop with
+    a data-dependent early exit (stats.py:90-118, 168-212). Here all 12
+    initializations run *in parallel* as one vmapped ``lax.while_loop``;
+    JAX's while-batching masks converged lanes, so each lane reproduces the
+    reference's early-exit semantics exactly while the TPU executes one
+    fused elementwise+reduction pass per EM step for all lanes.
+  * the Beta(alpha, beta) prior on pi uses a jnp log-pdf instead of the
+    reference's scipy CPU round trip (stats.py:165, 204).
+
+Numerical contract: same update equations, same init (quantile split, shared
+variance), same MAP pi update, same tol-based termination; float32 reduction
+order differs (XLA vs torch) so mu/std agree to ~1e-5 relative.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import betaln
+
+DEFAULT_PIS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.98, 1.0)
+
+
+def beta_logpdf(pi, alpha, beta):
+    return (
+        (alpha - 1) * jnp.log(pi)
+        + (beta - 1) * jnp.log1p(-pi)
+        - betaln(alpha, beta)
+    )
+
+
+def _beta_pdf_at_one(alpha, beta):
+    """scipy.stats.beta.pdf(1, alpha, beta): 0 for beta>1, alpha for beta==1,
+    inf for beta<1. The reference adds this (not its log!) to the
+    single-component logp (stats.py:107) — reproduced for parity."""
+    return jnp.where(beta > 1, 0.0, jnp.where(beta == 1, alpha, jnp.inf))
+
+
+class GmmState(NamedTuple):
+    it: jnp.ndarray
+    done: jnp.ndarray
+    logp: jnp.ndarray
+    logp_cur: jnp.ndarray
+    log_p0: jnp.ndarray
+    log_p1: jnp.ndarray
+    Z: jnp.ndarray
+    mu0: jnp.ndarray
+    var0: jnp.ndarray
+    mu1: jnp.ndarray
+    var1: jnp.ndarray
+    pi: jnp.ndarray
+
+
+def _posteriors(x, mu0, var0, mu1, var1, pi):
+    log_p0 = -((x - mu0) ** 2) / 2 / var0 - 0.5 * jnp.log(2 * jnp.pi * var0) + jnp.log1p(-pi)
+    log_p1 = -((x - mu1) ** 2) / 2 / var1 - 0.5 * jnp.log(2 * jnp.pi * var1) + jnp.log(pi)
+    ma = jnp.maximum(log_p0, log_p1)
+    Z = ma + jnp.log(jnp.exp(log_p0 - ma) + jnp.exp(log_p1 - ma))
+    return log_p0, log_p1, Z
+
+
+def gmm_fit(
+    x: jnp.ndarray,
+    pi: jnp.ndarray,
+    split: jnp.ndarray,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    scale: float = 1.0,
+    tol: float = 1e-3,
+    num_iters: int = 100,
+):
+    """Fit a shared-variance 2-component GMM with a Beta prior on pi.
+
+    Same update equations and termination rule as topaz/stats.py:122-214.
+    Returns (logp, mu0, var0, mu1, var1, pi).
+    """
+    x = x.ravel()
+    mu = jnp.mean(x)
+    pi = jnp.asarray(pi, dtype=x.dtype)
+
+    p0 = (x <= split).astype(x.dtype)
+    p1 = 1 - p0
+
+    def weighted_mean(p):
+        s = jnp.sum(p)
+        return jnp.where(s > 0, jnp.sum(x * p) / jnp.where(s > 0, s, 1.0), mu)
+
+    mu0 = weighted_mean(p0)
+    mu1 = weighted_mean(p1)
+    var = jnp.mean(p0 * (x - mu0) ** 2 + p1 * (x - mu1) ** 2)
+
+    log_p0, log_p1, Z = _posteriors(x, mu0, var, mu1, var, pi)
+    logp = scale * jnp.sum(Z) + beta_logpdf(pi, alpha, beta)
+
+    n = x.size
+
+    def cond(s: GmmState):
+        return jnp.logical_and(s.it < num_iters, jnp.logical_not(s.done))
+
+    def body(s: GmmState):
+        p0 = jnp.exp(s.log_p0 - s.Z)
+        p1 = jnp.exp(s.log_p1 - s.Z)
+
+        s1 = jnp.sum(p1)
+        a = alpha + s1
+        b = beta + n - s1
+        pi = (a - 1) / (a + b - 2)  # MAP estimate (stats.py:174-177)
+
+        mu0 = weighted_mean(p0)
+        mu1 = weighted_mean(p1)
+        var = jnp.mean(p0 * (x - mu0) ** 2 + p1 * (x - mu1) ** 2)
+
+        log_p0, log_p1, Z = _posteriors(x, mu0, var, mu1, var, pi)
+        logp = scale * jnp.sum(Z) + beta_logpdf(pi, alpha, beta)
+
+        done = (logp - s.logp_cur) <= tol
+        return GmmState(
+            it=s.it + 1,
+            done=done,
+            logp=logp,
+            logp_cur=jnp.where(done, s.logp_cur, logp),
+            log_p0=log_p0,
+            log_p1=log_p1,
+            Z=Z,
+            mu0=mu0,
+            var0=var,
+            mu1=mu1,
+            var1=var,
+            pi=pi,
+        )
+
+    init = GmmState(
+        it=jnp.array(0, jnp.int32),
+        done=jnp.array(False),
+        logp=logp,
+        logp_cur=logp,
+        log_p0=log_p0,
+        log_p1=log_p1,
+        Z=Z,
+        mu0=mu0,
+        var0=var,
+        mu1=mu1,
+        var1=var,
+        pi=pi,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final.logp, final.mu0, final.var0, final.mu1, final.var1, final.pi
+
+
+@partial(jax.jit, static_argnames=("alpha", "beta", "scale", "num_iters"))
+def norm_fit(
+    x: jnp.ndarray,
+    alpha: float = 900,
+    beta: float = 1,
+    scale: float = 1.0,
+    num_iters: int = 100,
+):
+    """Try all 12 pi inits in parallel, pick the max-logp fit
+    (topaz/stats.py:86-119).
+
+    Returns (mu, std, pi, logp, mus, stds, pis, logps) where mu/std are the
+    *second* (high-intensity) component's parameters, as in the reference.
+    """
+    x = x.ravel().astype(jnp.float32)
+    pis = jnp.array(DEFAULT_PIS, dtype=jnp.float32)
+    splits = jnp.quantile(x, 1 - pis)
+
+    # lanes 0..10: 2-component EM, vmapped (lane-masked early exit)
+    fit = jax.vmap(
+        lambda p, s: gmm_fit(
+            x, p, s, alpha=alpha, beta=beta, scale=scale, num_iters=num_iters
+        ),
+        in_axes=(0, 0),
+    )
+    logp_g, _mu0, _var0, mu_g, var_g, pi_g = fit(pis[:-1], splits[:-1])
+
+    # lane 11: single-component model (stats.py:104-107); torch's x.var() is
+    # unbiased, matched here
+    mu1c = jnp.mean(x)
+    var1c = jnp.var(x) * (x.size / (x.size - 1))
+    logp1c = scale * jnp.sum(
+        -((x - mu1c) ** 2) / 2 / var1c - 0.5 * jnp.log(2 * jnp.pi * var1c)
+    ) + _beta_pdf_at_one(alpha, beta)
+
+    logps = jnp.concatenate([logp_g, logp1c[None]])
+    mus = jnp.concatenate([mu_g, mu1c[None]])
+    stds = jnp.sqrt(jnp.concatenate([var_g, var1c[None]]))
+    pis_out = jnp.concatenate([pi_g, jnp.array([1.0], jnp.float32)])
+
+    i = jnp.argmax(logps)
+    return mus[i], stds[i], pis_out[i], logps[i], mus, stds, pis_out, logps
+
+
+def normalize(
+    x,
+    alpha: float = 900,
+    beta: float = 1,
+    num_iters: int = 100,
+    sample: int = 1,
+    method: str = "gmm",
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """Normalize an image by affine or GMM statistics (topaz/stats.py:36-83).
+
+    Returns (normalized float32 array, metadata dict).
+    """
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float32)
+
+    if method == "affine":
+        mu = float(x.mean())
+        std = float(x.std())
+        metadata = {"mu": mu, "std": std, "pi": 1}
+        return ((x - mu) / std).astype(np.float32), metadata
+
+    x_sample = x
+    scale = 1.0
+    if sample > 1:
+        n = int(np.round(x.size / sample))
+        scale = x.size / n
+        rng = np.random.default_rng(seed)
+        x_sample = rng.choice(x.ravel(), size=n, replace=False)
+
+    mu, std, pi, logp, mus, stds, pis, logps = (
+        np.asarray(v) for v in norm_fit(
+            jnp.asarray(x_sample), alpha=alpha, beta=beta, scale=scale,
+            num_iters=num_iters,
+        )
+    )
+    mu, std = float(mu), float(std)
+    out = ((x - mu) / std).astype(np.float32)
+    metadata = {
+        "mu": mu,
+        "std": std,
+        "pi": float(pi),
+        "logp": float(logp),
+        "mus": mus,
+        "stds": stds,
+        "pis": pis,
+        "logps": logps,
+        "alpha": alpha,
+        "beta": beta,
+        "sample": sample,
+    }
+    return out, metadata
