@@ -1,0 +1,102 @@
+import numpy as np
+import pytest
+
+from topaz_tpu.models.factory import load_picker, new_picker, save_picker
+from topaz_tpu.models.picker import apply_picker, make_picker_spec
+
+from reference_oracle import ref_module, reference_available
+
+
+def test_receptive_fields():
+    # published receptive fields (README.md:466-470): resnet8=71,
+    # conv31/63/127 = their names; resnet16 = 91 (verified against the
+    # reference's insize_from_outsize in test_dense_scoring_parity)
+    assert make_picker_spec("resnet8", units=32).width == 71
+    assert make_picker_spec("resnet16", units=32).width == 91
+    assert make_picker_spec("conv31", units=32).width == 31
+    assert make_picker_spec("conv63", units=32).width == 63
+    assert make_picker_spec("conv127", units=32).width == 127
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.parametrize("alias", ["resnet8_u32", "resnet16_u32"])
+def test_dense_scoring_parity(rng, alias):
+    """Dense (filled) score maps match the torch reference bit-closely."""
+    import torch
+
+    ref_factory = ref_module("topaz.model.factory")
+    ref = ref_factory.load_model(alias)
+    ref.eval()
+    ref.fill()
+    x = rng.normal(size=(96, 96)).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)[None, None]).numpy()[0, 0]
+
+    spec, params, state = load_picker(alias)
+    assert spec.width == ref.width
+    ours, _ = apply_picker(spec, params, x[None], state=state, dense=True,
+                           precision="highest")
+    ours = np.asarray(ours)[0]
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_strided_crop_scoring_parity(rng):
+    """Strided (training) form on width-sized crops matches the torch
+    unfilled classifier."""
+    import torch
+
+    ref_factory = ref_module("topaz.model.factory")
+    ref = ref_factory.load_model("resnet8_u32")
+    ref.eval()
+    w = ref.width
+    x = rng.normal(size=(4, w, w)).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)[:, None]).numpy()[:, 0, 0, 0]
+
+    spec, params, state = load_picker("resnet8_u32")
+    ours, _ = apply_picker(spec, params, x, state=state, dense=False,
+                           precision="highest")
+    ours = np.asarray(ours).reshape(-1)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_strided_dense_consistency(rng):
+    """The dense map sampled at stride-aligned points equals the strided
+    output (one architecture, both forms, same weights)."""
+    spec, params, state = new_picker("resnet8", units=8, seed=1)
+    x = rng.normal(size=(1, 95, 95)).astype(np.float32)
+    dense, _ = apply_picker(spec, params, x, state=state, dense=True,
+                            pad=False, precision="highest")
+    strided, _ = apply_picker(spec, params, x, state=state, dense=False,
+                              precision="highest")
+    dense = np.asarray(dense)[0]
+    strided = np.asarray(strided)[0]
+    s = spec.stride
+    np.testing.assert_allclose(dense[::s, ::s], strided, rtol=1e-4, atol=1e-5)
+
+
+def test_bn_architecture_runs(rng):
+    """Default training config (--bn on) forward works in both modes."""
+    spec, params, state = new_picker("resnet8", units=8, bn=True, seed=0)
+    x = rng.normal(size=(2, 71, 71)).astype(np.float32)
+    y, new_state = apply_picker(spec, params, x, state=state, dense=False,
+                                train=True)
+    assert y.shape == (2, 1, 1)
+    # running stats updated
+    assert not np.allclose(
+        np.asarray(new_state["features"]["0"]["bn"]["mean"]), 0
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    spec, params, state = new_picker("resnet16", units=8, seed=3)
+    path = str(tmp_path / "model.npz")
+    save_picker(path, spec, params, state)
+    spec2, params2, state2 = load_picker(path)
+    assert spec2.width == spec.width
+    x = rng.normal(size=(1, spec.width, spec.width)).astype(np.float32)
+    y1, _ = apply_picker(spec, params, x, state=state, dense=False)
+    y2, _ = apply_picker(spec2, params2, x, state=state2, dense=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
