@@ -1,0 +1,169 @@
+"""CLI contract tests: every command parses the reference's documented argv
+(mirrors test/test_commands_simple.py in the reference), plus end-to-end
+smoke runs of the file-level commands."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_main_no_args():
+    from topaz_tpu.cli import main
+
+    old_argv = sys.argv
+    sys.argv = ["topaz"]
+    try:
+        main.main()
+    except SystemExit:
+        pass
+    finally:
+        sys.argv = old_argv
+
+
+def test_train_args():
+    from topaz_tpu.cli.commands import train
+
+    parser = train.add_arguments()
+    args = parser.parse_args([
+        "-n", "400", "--num-workers=8",
+        "--train-images", "data/EMPIAR-10025/processed/micrographs/",
+        "--train-targets", "data/EMPIAR-10025/processed/particles.txt",
+        "--save-prefix=saved_models/EMPIAR-10025/model",
+        "-o", "saved_models/EMPIAR-10025/model_training.txt",
+    ])
+    assert args.num_particles == 400
+    assert args.method == "GE-binomial"
+    assert args.learning_rate == 2e-4
+    assert args.minibatch_size == 256
+    assert args.minibatch_balance == 0.0625
+    assert args.radius == 3
+    assert args.num_epochs == 10
+
+
+def test_extract_args():
+    from topaz_tpu.cli.commands import extract
+
+    args = extract.add_arguments().parse_args([
+        "-r", "14", "-x", "8",
+        "-m", "saved_models/EMPIAR-10025/model_epoch10.sav",
+        "-o", "out.txt", "micrographs/*.mrc",
+    ])
+    assert args.radius == 14 and args.up_scale == 8
+    assert args.threshold == -6
+
+
+def test_all_commands_parse():
+    from topaz_tpu.cli.commands import (denoise, denoise3d, downsample,
+                                        normalize, particle_stack,
+                                        precision_recall_curve, preprocess,
+                                        segment, split, train_test_split)
+
+    denoise.add_arguments().parse_args(
+        ["--patch-size", "1024", "-o", "out/", "a.mrc"])
+    denoise3d.add_arguments().parse_args([])
+    downsample.add_arguments().parse_args(["-s", "8", "x.mrc"])
+    normalize.add_arguments().parse_args(["x.mrc"])
+    preprocess.add_arguments().parse_args(["-v", "-s", "8", "-o", "out/", "x.mrc"])
+    segment.add_arguments()
+    split.add_arguments()
+    particle_stack.add_arguments().parse_args([
+        "--image-root=d/", "--size=400", "--threshold=0",
+        "--metadata=m.star", "-o", "stack.mrcs", "parts.txt"])
+    train_test_split.add_arguments().parse_args(
+        ["-n", "10", "--image-dir", "d/", "p.txt"])
+    precision_recall_curve.add_arguments().parse_args(
+        ["-r", "14", "--predicted", "p.txt", "--targets", "t.txt"])
+
+
+def _run_cli(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "topaz_tpu"] + args,
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=600,
+    )
+
+
+def test_cli_downsample_normalize_roundtrip(tmp_path, rng):
+    from topaz_tpu.io import mrc
+
+    x = rng.normal(2.0, 3.0, size=(128, 128)).astype(np.float32)
+    src = tmp_path / "micro.mrc"
+    mrc.write(str(src), x)
+
+    r = _run_cli(["downsample", "-s", "2", "-o", str(tmp_path / "small.mrc"),
+                  str(src)], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    y, _, _ = mrc.read(str(tmp_path / "small.mrc"))
+    assert y.shape == (64, 64)
+
+    outdir = tmp_path / "normed"
+    r = _run_cli(["normalize", "--affine", "-o", str(outdir), str(src)],
+                 cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    z, _, _ = mrc.read(str(outdir / "micro.mrc"))
+    assert abs(z.mean()) < 1e-4 and abs(z.std() - 1) < 1e-4
+
+
+def test_cli_convert_and_split(tmp_path):
+    table = pd.DataFrame({
+        "image_name": ["a", "a", "b"],
+        "x_coord": [10, 20, 30],
+        "y_coord": [15, 25, 35],
+        "score": [1.0, -2.0, 3.0],
+    })
+    src = tmp_path / "parts.txt"
+    table.to_csv(src, sep="\t", index=False)
+
+    # coord -> star -> coord roundtrip
+    r = _run_cli(["convert", "-o", str(tmp_path / "parts.star"), str(src)],
+                 cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    r = _run_cli(["convert", "-o", str(tmp_path / "back.txt"),
+                  str(tmp_path / "parts.star")], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    back = pd.read_csv(tmp_path / "back.txt", sep="\t")
+    assert list(back.image_name) == ["a", "a", "b"]
+    assert list(back.x_coord) == [10, 20, 30]
+    assert list(back.y_coord) == [15, 25, 35]
+    np.testing.assert_allclose(back.score.values, [1.0, -2.0, 3.0])
+
+    # threshold filter
+    r = _run_cli(["convert", "-t", "0", "-o", str(tmp_path / "thresh.txt"),
+                  str(src)], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    th = pd.read_csv(tmp_path / "thresh.txt", sep="\t")
+    assert len(th) == 2
+
+    # split per micrograph
+    outdir = tmp_path / "per_mic"
+    outdir.mkdir()
+    r = _run_cli(["split", "-o", str(outdir), str(src)], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert sorted(os.listdir(outdir)) == ["a.txt", "b.txt"]
+
+
+def test_cli_extract_on_score_map(tmp_path, rng):
+    """extract -m none on a synthetic pre-segmented score map."""
+    from topaz_tpu.io import mrc
+
+    score = rng.normal(-4, 1, size=(64, 64)).astype(np.float32)
+    score[10, 12] = 5.0
+    score[40, 50] = 4.0
+    mrc.write(str(tmp_path / "seg.mrc"), score)
+
+    r = _run_cli(["extract", "-m", "none", "-r", "5", "-t", "2",
+                  "-o", str(tmp_path / "picks.txt"), str(tmp_path / "seg.mrc")],
+                 cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    picks = pd.read_csv(tmp_path / "picks.txt", sep="\t")
+    assert len(picks) == 2
+    assert set(zip(picks.x_coord, picks.y_coord)) == {(12, 10), (50, 40)}
+    assert picks.score.iloc[0] > picks.score.iloc[1]

@@ -1,0 +1,52 @@
+"""topaz denoise3d (topaz/commands/denoise3d.py) — tomogram denoising."""
+
+import argparse
+
+name = "denoise3d"
+help = "denoise 3D volumes with various denoising algorithms"
+
+
+def add_arguments(parser=None):
+    if parser is None:
+        parser = argparse.ArgumentParser(help)
+
+    parser.add_argument("volumes", nargs="*", help="volumes to denoise")
+    parser.add_argument("-o", "--output", default="", help="directory to save denoised volumes")
+    parser.add_argument("--suffix", default="", help='suffix for output file names; defaults to ".denoised" when no output directory is given (default: none)')
+    parser.add_argument("-m", "--model", default="unet-3d", help="pretrained denoising model or path to a saved model. pretrained options: unet-3d, unet-3d-10a, unet-3d-20a (default: unet-3d)")
+
+    parser.add_argument("-a", "--even-train-path", help="path to even training data")
+    parser.add_argument("-b", "--odd-train-path", help="path to odd training data")
+    parser.add_argument("--N-train", type=int, default=1000, help="Number of train points per volume (default: 1000)")
+    parser.add_argument("--N-test", type=int, default=200, help="Number of test points per volume (default: 200)")
+    parser.add_argument("-c", "--crop", type=int, default=96, help="training tile size (default: 96)")
+    parser.add_argument("--base-kernel-width", type=int, default=11, help="width of the base convolutional filter kernel in the U-net model (default: 11)")
+
+    parser.add_argument("--optim", choices=["adam", "adagrad", "sgd"], default="adagrad", help="optimizer (default: adagrad)")
+    parser.add_argument("--lr", default=0.001, type=float, help="learning rate for the optimizer (default: 0.001)")
+    parser.add_argument("--criteria", default="L2", choices=["L1", "L2"], help="training criteria (default: L2)")
+    parser.add_argument("--momentum", type=float, default=0.8, help="momentum parameter for SGD optimizer (default: 0.8)")
+    parser.add_argument("--batch-size", type=int, default=10, help="minibatch size (default: 10)")
+    parser.add_argument("--num-epochs", type=int, default=500, help="number of training epochs (default: 500)")
+    parser.add_argument("-w", "--weight_decay", type=float, default=0, help="L2 regularizer on the generative network (default: 0)")
+    parser.add_argument("--save-interval", default=10, type=int, help="save frequency in epochs (default: 10)")
+    parser.add_argument("--save-prefix", help="path prefix to save denoising model")
+    parser.add_argument("--num-workers", type=int, default=1, help="number of workers for data loading (compatibility flag)")
+    parser.add_argument("-j", "--num-threads", type=int, default=0, help="number of host threads (compatibility flag)")
+
+    parser.add_argument("-g", "--gaussian", type=float, default=0, help="standard deviation of Gaussian filter postprocessing, 0 means no postprocessing (default: 0)")
+    parser.add_argument("-s", "--patch-size", type=int, default=96, help="denoises volumes in patches of this size. not used if <1 (default: 96)")
+    parser.add_argument("-p", "--patch-padding", type=int, default=48, help="padding around each patch to remove edge artifacts (default: 48)")
+    parser.add_argument("-d", "--device", type=int, default=-2, help="compute device/s (compatibility flag; -2 means all devices — maps to the device mesh)")
+
+    return parser
+
+
+def main(args):
+    from topaz_tpu.denoise import denoise3d_main
+
+    denoise3d_main(args)
+
+
+if __name__ == "__main__":
+    main(add_arguments().parse_args())

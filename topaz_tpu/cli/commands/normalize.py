@@ -1,0 +1,37 @@
+"""topaz normalize (topaz/commands/normalize.py)."""
+import argparse
+
+from topaz_tpu.preprocess import normalize_images
+
+name = "normalize"
+help = "normalize a set of images using the 2-component Gaussian mixture model"
+
+
+def add_arguments(parser=None):
+    if parser is None:
+        parser = argparse.ArgumentParser(help)
+    parser.add_argument("files", nargs="+")
+    parser.add_argument("-s", "--scale", default=1, type=int, help="downsample images by this factor (default: 1)")
+    parser.add_argument("--affine", action="store_true", help="use standard normalization (x-mu)/std of whole image rather than GMM normalization")
+    parser.add_argument("--sample", default=10, type=int, help="pixel sampling factor for model fit (default: 10)")
+    parser.add_argument("--niters", default=100, type=int, help="maximum number of EM iterations to run for model fit (default: 100)")
+    parser.add_argument("-a", "--alpha", default=900, type=float, help="alpha parameter of the beta distribution prior on the mixing proportion (default: 900)")
+    parser.add_argument("-b", "--beta", default=1, type=float, help="beta parameter of the beta distribution prior on the mixing proportion (default: 1)")
+    parser.add_argument("--metadata", action="store_true", help="if set, save parameter metadata for each micrograph")
+    parser.add_argument("-d", "--device", default=-1, type=int, help="compute device (kept for CLI compatibility; the TPU is used automatically)")
+    parser.add_argument("-t", "--num-workers", type=int, default=0, help="number of parallel processes (compatibility flag; per-image fits run on the accelerator)")
+    parser.add_argument("-j", "--num-threads", type=int, default=0, help="number of host threads (compatibility flag)")
+    parser.add_argument("-o", "--destdir", help="output directory")
+    parser.add_argument("--format", dest="format_", default="mrc", help="image format(s) to write, comma separated: mrc, tiff, png (default: mrc)")
+    parser.add_argument("-v", "--verbose", action="store_true", help="verbose output")
+    return parser
+
+
+def main(args):
+    formats = args.format_.split(",")
+    normalize_images(
+        args.files, args.destdir, scale=args.scale, affine=args.affine,
+        num_iters=args.niters, alpha=args.alpha, beta=args.beta,
+        sample=args.sample, metadata=args.metadata, formats=formats,
+        verbose=args.verbose,
+    )

@@ -1,0 +1,109 @@
+"""Preprocessing workflows: per-micrograph normalization (+ downsampling).
+
+Workflow layer equivalent of topaz/stats.py:282-355. The reference fans out
+per-image work to a multiprocessing pool; here each image's GMM fit runs on
+the TPU (all 12 EM initializations in parallel, ops/gmm.py) so the host
+loop just streams files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from topaz_tpu.io.image import load_image, save_image
+from topaz_tpu.ops.fourier import downsample
+from topaz_tpu.ops.gmm import normalize
+from topaz_tpu.utils.printing import report
+
+
+def pixels_given_radius(radius: int, dims: int = 2) -> int:
+    """Number of integer pixels within ``radius`` (topaz/stats.py:17-25)."""
+    grid = np.arange(-radius, radius + 1)
+    if dims == 2:
+        d2 = grid[:, None] ** 2 + grid[None, :] ** 2
+    else:
+        d2 = (
+            grid[:, None, None] ** 2
+            + grid[None, :, None] ** 2
+            + grid[None, None, :] ** 2
+        )
+    return int((d2 <= radius**2).sum())
+
+
+def calculate_pi(expected_num_particles: float, radius: int, total_pixels: int,
+                 dims: int = 2) -> float:
+    """Expected positive fraction from particle count and radius
+    (topaz/stats.py:28-33)."""
+    return pixels_given_radius(radius, dims=dims) * expected_num_particles / total_pixels
+
+
+def normalize_file(
+    path: str,
+    dest: str,
+    scale: int = 1,
+    affine: bool = False,
+    num_iters: int = 100,
+    alpha: float = 900,
+    beta: float = 1,
+    sample: int = 1,
+    metadata: bool = False,
+    formats: Optional[List[str]] = None,
+    seed: int = 0,
+) -> str:
+    """Normalize one image file and write outputs (topaz/stats.py:296-335)."""
+    formats = formats or ["mrc"]
+    loaded = load_image(path, return_header=True)
+    image, header, ext_header = loaded
+    x = np.asarray(image, dtype=np.float32)
+
+    if scale > 1:
+        x = np.asarray(downsample(x, scale))
+        if header is not None:
+            header = header.replace(ny=x.shape[0], nx=x.shape[1])
+
+    method = "affine" if affine else "gmm"
+    x, md = normalize(x, alpha=alpha, beta=beta, num_iters=num_iters,
+                      method=method, sample=sample, seed=seed)
+
+    name = os.path.splitext(os.path.basename(path))[0]
+    base = os.path.join(dest, name)
+    for f in formats:
+        save_image(x, base, f=f, header=header, extended_header=ext_header)
+
+    if metadata:
+        if not affine:
+            for k in ("mus", "stds", "pis", "logps"):
+                md[k] = np.asarray(md[k]).tolist()
+        with open(base + ".metadata.json", "w") as fh:
+            json.dump(md, fh, indent=4)
+    return name
+
+
+def normalize_images(
+    paths: List[str],
+    dest: str,
+    scale: int = 1,
+    affine: bool = False,
+    num_iters: int = 100,
+    alpha: float = 900,
+    beta: float = 1,
+    sample: int = 1,
+    metadata: bool = False,
+    formats: Optional[List[str]] = None,
+    verbose: bool = False,
+) -> None:
+    """Normalize a set of images (topaz/stats.py:338-355)."""
+    os.makedirs(dest, exist_ok=True)
+    for path in paths:
+        name = normalize_file(
+            path, dest, scale=scale, affine=affine, num_iters=num_iters,
+            alpha=alpha, beta=beta, sample=sample, metadata=metadata,
+            formats=formats,
+        )
+        if verbose:
+            print("# processed:", name, file=sys.stderr)
