@@ -1,0 +1,172 @@
+import os
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from reference_oracle import ref_module, reference_available
+
+
+def _scores_labels(rng, n=64, n_pos=8):
+    scores = rng.normal(0, 2, n).astype(np.float32)
+    # our convention: first n_pos are positive
+    labels = np.zeros(n, dtype=np.float32)
+    labels[:n_pos] = 1
+    return scores, labels
+
+
+class _FixedModel:
+    """Callable standing in for a torch module that emits fixed scores."""
+
+    def __init__(self, scores):
+        import torch
+
+        self.scores = torch.tensor(scores, requires_grad=True)
+
+    def __call__(self, X):
+        return self.scores
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.parametrize("method,pi", [("PN", 0.02), ("GE-binomial", 0.01),
+                                       ("GE-KL", 0.01), ("PU", 0.02)])
+def test_loss_parity_with_reference(rng, method, pi):
+    """Our pure loss functions reproduce the reference trainer losses for
+    identical scores."""
+    import torch
+
+    ref_methods = ref_module("topaz.methods")
+    from topaz_tpu.train.methods import make_loss_fn, init_method_state
+
+    scores, labels = _scores_labels(rng)
+    n_pos = int(labels.sum())
+
+    model = _FixedModel(scores)
+    optim = torch.optim.SGD([model.scores], lr=0.0)
+    criteria = torch.nn.BCEWithLogitsLoss()
+    X = torch.zeros(len(scores))
+    Y = torch.tensor(labels)
+
+    if method == "PN":
+        trainer = ref_methods.PN(model, optim, criteria, pi=pi)
+        ref_out = trainer.step(X, Y)
+        ref_loss, ref_prec, ref_tpr, ref_fpr = ref_out
+        ref_metrics = {"loss": ref_loss, "precision": ref_prec,
+                       "tpr": ref_tpr, "fpr": ref_fpr}
+    elif method == "GE-binomial":
+        trainer = ref_methods.GE_binomial(model, optim, criteria, pi, slack=1.0)
+        loss, ge, prec, tpr, fpr = trainer.step(X, Y)
+        ref_metrics = {"loss": loss, "ge_penalty": ge, "precision": prec,
+                       "tpr": tpr, "fpr": fpr}
+    elif method == "GE-KL":
+        trainer = ref_methods.GE_KL(model, optim, criteria, pi, slack=10.0)
+        loss, ge, prec, tpr, fpr = trainer.step(X, Y)
+        ref_metrics = {"loss": loss, "ge_penalty": ge, "precision": prec,
+                       "tpr": tpr, "fpr": fpr}
+    else:
+        trainer = ref_methods.PU(model, optim, criteria, pi)
+        loss, prec, tpr, fpr = trainer.step(X, Y)
+        ref_metrics = {"loss": loss, "precision": prec, "tpr": tpr, "fpr": fpr}
+
+    import jax.numpy as jnp
+
+    loss_fn, header, split = make_loss_fn(method, pi)
+    _, _, metrics = loss_fn(jnp.asarray(scores), n_pos, init_method_state(pi))
+    for k, v in ref_metrics.items():
+        assert np.isclose(float(metrics[k]), v, rtol=2e-4, atol=2e-5), (
+            k, float(metrics[k]), v)
+
+
+def test_adjust_method_fallback():
+    from topaz_tpu.training import adjust_method
+
+    # pi <= p_observed -> PN fallback with pi = p_observed
+    m, pi = adjust_method("GE-binomial", 0.01, 0.02)
+    assert m == "PN" and pi == 0.02
+    # GE methods subtract p_observed
+    m, pi = adjust_method("GE-binomial", 0.05, 0.02)
+    assert m == "GE-binomial" and np.isclose(pi, 0.03)
+    # PN/PU untouched
+    m, pi = adjust_method("PU", 0.05, 0.02)
+    assert m == "PU" and pi == 0.05
+
+
+def _make_synthetic_dataset(tmp_path, rng, n_images=2, size=160, n_particles=6):
+    from topaz_tpu.io import mrc
+
+    img_dir = tmp_path / "micrographs"
+    img_dir.mkdir()
+    rows = []
+    for i in range(n_images):
+        x = rng.normal(0, 1, (size, size)).astype(np.float32)
+        for _ in range(n_particles):
+            cy, cx = rng.integers(20, size - 20), rng.integers(20, size - 20)
+            yy, xx = np.mgrid[0:size, 0:size]
+            x -= 2.5 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 4.0**2)).astype(np.float32)
+            rows.append({"image_name": f"img{i}", "x_coord": cx, "y_coord": cy})
+        mrc.write(str(img_dir / f"img{i}.mrc"), x)
+    targets = tmp_path / "particles.txt"
+    pd.DataFrame(rows).to_csv(targets, sep="\t", index=False)
+    return str(img_dir), str(targets)
+
+
+def test_crop_sampler(tmp_path, rng):
+    from topaz_tpu.train.data import CropSampler
+    import glob
+
+    img_dir, targets_path = _make_synthetic_dataset(tmp_path, rng)
+    targets = pd.read_csv(targets_path, sep="\t")
+    paths = sorted(glob.glob(os.path.join(img_dir, "*.mrc")))
+    sampler = CropSampler(paths, targets, crop_size=71, radius=3, split="pn")
+    assert sampler.mask_size == 29  # pixels within radius 3
+    crops, labels = sampler.sample_batch(16, 4)
+    assert crops.shape == (16, 101, 101)
+    assert labels[:4].sum() == 4 and labels[4:].sum() == 0
+    assert np.isfinite(crops).all()
+
+
+def test_end_to_end_training(tmp_path, rng, capsys):
+    """Tiny GE-binomial training run: TSV contract, finite losses,
+    checkpoint loadable, eval runs."""
+    from topaz_tpu.training import train_from_args
+
+    img_dir, targets_path = _make_synthetic_dataset(tmp_path, rng)
+
+    args = types.SimpleNamespace(
+        describe=False, device=0, num_workers=0, num_threads=0,
+        train_images=img_dir, train_targets=targets_path,
+        test_images=img_dir, test_targets=targets_path,
+        format_="auto", image_ext="",
+        k_fold=0, fold=0, cross_validation_seed=42,
+        num_particles=20, pi=None, radius=3, method="GE-binomial",
+        slack=-1, autoencoder=0, l2=0.0, learning_rate=2e-4,
+        natural=False, minibatch_size=16, minibatch_balance=0.25,
+        epoch_size=3, num_epochs=2,
+        pretrained=False, model="resnet8", units=4, dropout=0.0, bn="off",
+        pooling=None, unit_scaling=2, ngf=32, patch_size=96, patch_padding=48,
+        save_prefix=str(tmp_path / "model"), output=str(tmp_path / "log.tsv"),
+        test_batch_size=1, seed=0, dims=2,
+    )
+    train_from_args(args)
+
+    log = pd.read_csv(tmp_path / "log.tsv", sep="\t")
+    assert list(log.columns) == ["epoch", "iter", "split", "loss",
+                                 "ge_penalty", "precision",
+                                 "adjusted_precision", "tpr", "fpr", "auprc"]
+    train_rows = log[log.split == "train"]
+    assert len(train_rows) == 6
+    assert np.isfinite(train_rows.loss.astype(float)).all()
+    test_rows = log[log.split == "test"]
+    assert len(test_rows) == 2
+    assert np.isfinite(test_rows.auprc.astype(float)).all()
+
+    # checkpoints exist and round-trip through the factory
+    from topaz_tpu.models.factory import load_picker
+
+    ckpt = str(tmp_path / "model_epoch2.npz")
+    assert os.path.exists(ckpt)
+    spec, params, state = load_picker(ckpt)
+    assert spec.arch == "resnet8"
+    assert spec.width == 71

@@ -1,0 +1,180 @@
+"""Host-side training data pipeline: memory-mapped random crop sampling.
+
+Vectorized equivalent of the reference's per-item torch Dataset
+(topaz/utils/data/memory_mapped_data.py:129-233): per step it gathers one
+whole batch of over-sized raw crops from memory-mapped MRC files; rotation/
+flip augmentation happens on device (train/augment.py).
+
+Sampling semantics preserved:
+  * positives are uniform over *expanded* per-pixel positive coordinates
+    (particle centers dilated to the radius sphere, training.py:447-476)
+  * unlabeled ('pu' split) crops center on any pixel; negative ('pn' split)
+    crops center on any pixel that is not a labeled positive
+    (memory_mapped_data.py:79-100)
+  * crops are zero-padded at image edges (memory_mapped_data.py:45-70)
+
+One deliberate divergence: batches have a fixed positive count
+round(batch * balance) instead of per-item Bernoulli draws — same
+expectation, lower variance, and it gives the jitted objectives a static
+positive/unlabeled split.
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from topaz_tpu.io.mrc import MrcMemmap
+from topaz_tpu.utils.printing import report
+
+
+def sphere_offsets(radius: float, dims: int = 2) -> np.ndarray:
+    """Integer offsets within ``radius`` of the origin
+    (training.py:449-466)."""
+    R = int(math.floor(radius))
+    grid = np.arange(-R, R + 1)
+    if dims == 2:
+        d2 = grid[:, None] ** 2 + grid[None, :] ** 2
+        ys, xs = np.nonzero(d2 <= radius**2)
+        return np.stack([grid[xs], grid[ys]], axis=1)  # (n, [dx, dy])
+    d2 = (grid[:, None, None] ** 2 + grid[None, :, None] ** 2
+          + grid[None, None, :] ** 2)
+    zs, ys, xs = np.nonzero(d2 <= radius**2)
+    return np.stack([grid[xs], grid[ys], grid[zs]], axis=1)  # (n, [dx, dy, dz])
+
+
+def expand_target_points(targets: pd.DataFrame, radius: float,
+                         dims: int = 2) -> Tuple[pd.DataFrame, int]:
+    """Expand particle centers to all in-radius pixel coordinates
+    (training.py:447-476). Returns (expanded table, pixels per particle)."""
+    offs = sphere_offsets(radius, dims)
+    n = len(targets)
+    k = len(offs)
+    out = {
+        "image_name": np.repeat(targets["image_name"].values, k),
+        "x_coord": np.repeat(targets["x_coord"].values, k) + np.tile(offs[:, 0], n),
+        "y_coord": np.repeat(targets["y_coord"].values, k) + np.tile(offs[:, 1], n),
+    }
+    if dims == 3:
+        out["z_coord"] = np.repeat(targets["z_coord"].values, k) + np.tile(offs[:, 2], n)
+    return pd.DataFrame(out), k
+
+
+def find_image_paths(images_path: str, image_ext: str = "") -> pd.DataFrame:
+    """Resolve an image directory or list file into a (image_name, path[,
+    source]) table (training.py:69-91)."""
+    if os.path.isdir(images_path):
+        pattern = os.path.join(images_path, "*" + (image_ext or ".mrc"))
+        paths = sorted(glob.glob(pattern))
+        names = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+        return pd.DataFrame({"image_name": names, "path": paths})
+    return pd.read_csv(images_path, sep=r"\s+")
+
+
+class CropSampler:
+    """Batched random-crop sampler over memory-mapped micrographs."""
+
+    def __init__(
+        self,
+        image_paths: List[str],
+        targets: pd.DataFrame,
+        crop_size: int,
+        radius: float = 3,
+        split: str = "pn",
+        rotate: bool = True,
+        seed: int = 0,
+        dims: int = 2,
+    ):
+        self.crop_size = crop_size
+        # over-crop so rotation never clips corners (training.py:172-173)
+        size = int(np.ceil(crop_size * np.sqrt(2))) if rotate else crop_size
+        if size % 2 == 0:
+            size += 1
+        self.raw_size = size
+        self.split = split
+        self.dims = dims
+        self.rng = np.random.default_rng(seed)
+
+        self.images: List[MrcMemmap] = []
+        self.names: List[str] = []
+        name_to_idx = {}
+        for path in image_paths:
+            name = os.path.splitext(os.path.basename(path))[0]
+            mm = MrcMemmap(path)
+            name_to_idx[name] = len(self.images)
+            self.images.append(mm)
+            self.names.append(name)
+
+        expanded, self.mask_size = expand_target_points(targets, radius, dims)
+        keep = expanded["image_name"].isin(name_to_idx)
+        missing = expanded.loc[~keep, "image_name"].unique().tolist()
+        if missing:
+            report(f"WARNING: {len(missing)} micrographs listed in the "
+                   f"coordinates file are missing from the images: {missing}")
+        expanded = expanded.loc[keep]
+
+        img_idx = expanded["image_name"].map(name_to_idx).values.astype(np.int64)
+        xs = np.round(expanded["x_coord"].values).astype(np.int64)
+        ys = np.round(expanded["y_coord"].values).astype(np.int64)
+
+        # drop out-of-bounds expanded pixels (memory_mapped_data.py:102-114)
+        shapes = np.array([im.shape[-2:] for im in self.images])
+        in_bounds = (
+            (xs >= 0) & (ys >= 0)
+            & (xs < shapes[img_idx, 1]) & (ys < shapes[img_idx, 0])
+        )
+        self.pos_img = img_idx[in_bounds]
+        self.pos_x = xs[in_bounds]
+        self.pos_y = ys[in_bounds]
+        self.num_pixels = len(self.pos_img)
+        self.num_images = len(self.images)
+
+        # packed-int positive-pixel set for negative rejection sampling
+        packed = (self.pos_img << 48) | (self.pos_y << 24) | self.pos_x
+        self.positive_set = set(packed.tolist()) if split == "pn" else None
+
+    def _gather_crops(self, img_idx, ys, xs) -> np.ndarray:
+        s = self.raw_size
+        half = s // 2
+        out = np.empty((len(img_idx), s, s), dtype=np.float32)
+        for i, (k, y, x) in enumerate(zip(img_idx, ys, xs)):
+            out[i] = self.images[k].crop(int(y) - half, int(x) - half, s, s)
+        return out
+
+    def sample_batch(self, batch_size: int, n_pos: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (raw crops (B, S, S), labels (B,)) — first n_pos positive."""
+        n_neg = batch_size - n_pos
+        # positives: uniform over expanded positive pixels
+        if n_pos > 0:
+            sel = self.rng.integers(0, self.num_pixels, size=n_pos)
+            p_img, p_y, p_x = self.pos_img[sel], self.pos_y[sel], self.pos_x[sel]
+        else:
+            p_img = p_y = p_x = np.zeros(0, dtype=np.int64)
+
+        # unlabeled / negative: random image, random pixel (rejecting exact
+        # positives for the pn split)
+        n_img = self.rng.integers(0, self.num_images, size=n_neg)
+        n_y = np.empty(n_neg, dtype=np.int64)
+        n_x = np.empty(n_neg, dtype=np.int64)
+        for i, k in enumerate(n_img):
+            H, W = self.images[k].shape[-2:]
+            while True:
+                y = self.rng.integers(0, H)
+                x = self.rng.integers(0, W)
+                if self.positive_set is None or \
+                        ((int(k) << 48) | (int(y) << 24) | int(x)) not in self.positive_set:
+                    break
+            n_y[i], n_x[i] = y, x
+
+        img_idx = np.concatenate([p_img, n_img])
+        ys = np.concatenate([p_y, n_y])
+        xs = np.concatenate([p_x, n_x])
+        crops = self._gather_crops(img_idx, ys, xs)
+        labels = np.zeros(batch_size, dtype=np.float32)
+        labels[:n_pos] = 1.0
+        return crops, labels

@@ -1,0 +1,124 @@
+"""Jitted training step: augment -> strided forward -> PU objective ->
+optax update, optionally sharded over a device mesh.
+
+Replaces the reference's eager per-step torch loop (methods.py .step(),
+training.py:551-568). The whole step — including augmentation and the
+L2 penalty — is one compiled program; data parallelism is jax.sharding
+over the batch axis (XLA inserts the gradient reductions), not
+DataParallel or process pools.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from topaz_tpu.models.picker import PickerSpec, apply_picker
+from topaz_tpu.train.augment import augment_crops
+from topaz_tpu.train.methods import MethodState, init_method_state
+
+
+class TrainState(NamedTuple):
+    params: Dict
+    model_state: Dict
+    opt_state: optax.OptState
+    method_state: MethodState
+    rng: jax.Array
+
+
+def make_optimizer(lr: float, optim: str = "adam", momentum: float = 0.0) -> optax.GradientTransformation:
+    if optim == "adam":
+        return optax.adam(lr)
+    if optim == "adagrad":
+        return optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+    if optim == "sgd":
+        return optax.sgd(lr, momentum=momentum or None)
+    if optim == "rmsprop":
+        return optax.rmsprop(lr)
+    raise ValueError(f"unknown optimizer: {optim}")
+
+
+def _l2_penalty(params: Dict, l2: float) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(params)
+    return 0.5 * l2 * sum(jnp.sum(w.astype(jnp.float32) ** 2) for w in leaves)
+
+
+def make_train_step(
+    spec: PickerSpec,
+    loss_fn,
+    optimizer: optax.GradientTransformation,
+    n_pos: int,
+    l2: float = 0.0,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    precision=None,
+):
+    """Build the jitted train step.
+
+    The step takes raw over-sized crops (B, S, S); augmentation (rotation /
+    flips / center crop to the receptive field) runs on device.
+    When ``mesh`` is given, the batch is sharded over its 'data' axis.
+    """
+    crop = spec.width
+    rotate = spec.dims == 2
+
+    def loss_and_metrics(params, model_state, crops, rng, method_state):
+        k_aug, k_drop = jax.random.split(rng)
+        x = augment_crops(crops, k_aug, crop, rotate=rotate, flip=rotate)
+        score, new_model_state = apply_picker(
+            spec, params, x, state=model_state, dense=False, train=True,
+            dropout_rng=k_drop, precision=precision,
+        )
+        score = score.reshape(-1)
+        loss, new_method_state, metrics = loss_fn(score, n_pos, method_state)
+        if l2 > 0:
+            loss = loss + _l2_penalty(params, l2)
+        return loss, (new_model_state, new_method_state, metrics)
+
+    def step(state: TrainState, crops: jnp.ndarray) -> Tuple[TrainState, Dict]:
+        rng, sub = jax.random.split(state.rng)
+        grads, (model_state, method_state, metrics) = jax.grad(
+            loss_and_metrics, has_aux=True
+        )(state.params, state.model_state, crops, sub, state.method_state)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, model_state, opt_state, method_state, rng), metrics
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_sharding = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+
+        def sharded_step(state, crops):
+            crops = jax.lax.with_sharding_constraint(crops, data_sharding)
+            return step(state, crops)
+
+        jitted = jax.jit(sharded_step, donate_argnums=(0,),
+                         out_shardings=(replicated, replicated))
+
+        def run(state, crops):
+            crops = jax.device_put(crops, data_sharding)
+            return jitted(state, crops)
+
+        return run
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def init_train_state(spec: PickerSpec, params: Dict, model_state: Dict,
+                     optimizer: optax.GradientTransformation,
+                     pi: Optional[float], seed: int = 0) -> TrainState:
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    model_state = jax.tree_util.tree_map(jnp.asarray, model_state)
+    return TrainState(
+        params=params,
+        model_state=model_state,
+        opt_state=optimizer.init(params),
+        method_state=init_method_state(pi),
+        rng=jax.random.PRNGKey(seed),
+    )
