@@ -1,0 +1,206 @@
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from reference_oracle import ref_module, reference_available
+
+
+def _torch_to_ours(model):
+    from topaz_tpu.models.denoise import denoiser_params_from_state_dict
+
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    return denoiser_params_from_state_dict(sd)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.parametrize("alias", ["unet-small", "fcnn", "affine",
+                                   "unet-v0.2.1"])
+def test_pretrained_denoiser_parity(rng, alias):
+    """Converted pretrained weights reproduce the torch forward pass."""
+    import torch
+
+    ref_models = ref_module("topaz.denoising.models")
+    from topaz_tpu.models.denoise_factory import (PRETRAINED_DENOISERS,
+                                                  apply_fn_for, load_denoiser)
+
+    # construct the reference model + state dict directly (its packaged
+    # loader assumes an installed package layout)
+    stem = PRETRAINED_DENOISERS[alias]
+    sav = f"/root/reference/topaz/pretrained/denoise/{stem}.sav"
+    builders = {
+        "unet_L2_v0.2.2": lambda: ref_models.UDenoiseNet(base_width=11, top_width=5),
+        "unet_L2_v0.2.1": lambda: ref_models.UDenoiseNet(base_width=7, top_width=3),
+        "unet_small_L1_v0.2.2": lambda: ref_models.UDenoiseNetSmall(width=11, top_width=5),
+        "fcnn_L1_v0.2.2": lambda: ref_models.DenoiseNet2(64, width=11),
+        "affine_L1_v0.2.2": lambda: ref_module("topaz.filters").AffineDenoise(max_size=31),
+    }
+    ref = builders[stem]()
+    ref.load_state_dict(torch.load(sav, map_location="cpu", weights_only=False))
+    ref.eval()
+    x = rng.normal(size=(92, 108)).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)[None, None]).numpy()[0, 0]
+
+    meta, params = load_denoiser(alias)
+    import jax.numpy as jnp
+
+    ours = np.asarray(
+        apply_fn_for(meta)(params, jnp.asarray(x)[None, :, :, None],
+                           dims=2, precision="highest")
+    )[0, :, :, 0]
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.parametrize("arch", ["unet2", "unet3"])
+def test_unet_variant_parity(rng, arch):
+    """unet2/unet3 (no pretrained weights) checked against torch with
+    randomly initialized converted weights."""
+    import torch
+
+    ref_models = ref_module("topaz.denoising.models")
+    from topaz_tpu.models.denoise import APPLY_FNS
+
+    torch.manual_seed(0)
+    ref = ref_models.UDenoiseNet2(nf=8) if arch == "unet2" \
+        else ref_models.UDenoiseNet3()
+    ref.eval()
+    x = rng.normal(size=(64, 80)).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)[None, None]).numpy()[0, 0]
+
+    import jax.numpy as jnp
+
+    params = _torch_to_ours(ref)
+    ours = np.asarray(
+        APPLY_FNS[arch](params, jnp.asarray(x)[None, :, :, None],
+                        dims=2, precision="highest")
+    )[0, :, :, 0]
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_unet3d_parity(rng):
+    import torch
+
+    ref_models = ref_module("topaz.denoising.models")
+    from topaz_tpu.models.denoise import apply_unet
+
+    torch.manual_seed(1)
+    ref = ref_models.UDenoiseNet3D(nf=4, base_width=7)
+    ref.eval()
+    x = rng.normal(size=(36, 40, 44)).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)[None, None]).numpy()[0, 0]
+
+    import jax.numpy as jnp
+
+    params = _torch_to_ours(ref)
+    ours = np.asarray(
+        apply_unet(params, jnp.asarray(x)[None, :, :, :, None], dims=3,
+                   precision="highest")
+    )[0, :, :, :, 0]
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_denoise_patches_matches_reference(rng):
+    """Patch-tiled inference reproduces the reference patch semantics."""
+    import torch
+
+    ref_models = ref_module("topaz.denoising.models")
+    from topaz_tpu.denoise import Denoise
+
+    x = rng.normal(size=(100, 120)).astype(np.float32)
+
+    d = Denoise("unet-small", precision="highest")
+    ours = d.denoise(x, patch_size=48, padding=16)
+
+    ref = ref_models.load_model("unet-small")
+    ref.eval()
+
+    # reference patch loop (topaz/denoise.py:299-324) with its _denoise
+    y = np.zeros_like(x)
+    with torch.no_grad():
+        for i in range(0, x.shape[0], 48):
+            for j in range(0, x.shape[1], 48):
+                si, ei = max(0, i - 16), min(x.shape[0], i + 48 + 16)
+                sj, ej = max(0, j - 16), min(x.shape[1], j + 48 + 16)
+                xij = torch.from_numpy(x[si:ei, sj:ej])
+                mu, std = xij.mean(), xij.std()
+                pred = ref(((xij - mu) / std)[None, None]).squeeze() * std + mu
+                oi, oj = i - si, j - sj
+                y[i:i + 48, j:j + 48] = pred.numpy()[oi:oi + 48, oj:oj + 48]
+    np.testing.assert_allclose(ours, y, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_spatial_covariance_and_unblur(rng):
+    ref_denoise = ref_module("topaz.denoise")
+    import torch
+
+    from topaz_tpu.ops.filters import estimate_unblur_filter, spatial_covariance
+
+    import jax.numpy as jnp
+
+    x = rng.normal(size=(80, 90)).astype(np.float32)
+    ours_cov = np.asarray(spatial_covariance(jnp.asarray(x), n=11))
+    theirs_cov = ref_denoise.spatial_covariance(torch.from_numpy(x), n=11).numpy()
+    np.testing.assert_allclose(ours_cov, theirs_cov, rtol=1e-4, atol=1e-6)
+
+    w, _ = estimate_unblur_filter(x, width=11)
+    ref_filter, _ = ref_denoise.estimate_unblur_filter(torch.from_numpy(x), width=11)
+    theirs_w = ref_filter.filter.weight.data.numpy()[0, 0]
+    np.testing.assert_allclose(w, theirs_w, rtol=1e-4, atol=1e-6)
+
+
+def test_denoise_image_pipeline_runs(rng):
+    from topaz_tpu.denoise import Denoise, denoise_image
+
+    x = rng.normal(size=(96, 96)).astype(np.float32)
+    model = Denoise("fcnn")
+    out = denoise_image(x, [model], lowpass=2, cutoff=4, deconvolve=False)
+    assert out.shape == x.shape
+    assert np.isfinite(out).all()
+    # gaussian pre-filter branch
+    out2 = denoise_image(x, [model], gaus=1.5)
+    assert np.isfinite(out2).all()
+
+
+def test_denoise_training_runs(tmp_path, rng):
+    """Tiny noise2noise training: loss finite and decreasing-ish; best
+    checkpoint saved and reloadable."""
+    from topaz_tpu.io import mrc
+    from topaz_tpu.denoise import Denoise3D, denoise3d_main
+
+    # synthetic even/odd volume pair (tiles must survive 5 pooling levels)
+    base = rng.normal(size=(96, 96, 96)).astype(np.float32)
+    even = base + rng.normal(0, 0.5, base.shape).astype(np.float32)
+    odd = base + rng.normal(0, 0.5, base.shape).astype(np.float32)
+    mrc.write(str(tmp_path / "even.mrc"), even)
+    mrc.write(str(tmp_path / "odd.mrc"), odd)
+
+    args = types.SimpleNamespace(
+        volumes=[], output="", suffix="", model="unet-3d",
+        even_train_path=str(tmp_path / "even.mrc"),
+        odd_train_path=str(tmp_path / "odd.mrc"),
+        N_train=8, N_test=4, crop=32, base_kernel_width=7,
+        optim="adagrad", lr=0.01, criteria="L2", momentum=0.8,
+        batch_size=4, num_epochs=2, weight_decay=0,
+        save_interval=10, save_prefix=str(tmp_path / "models" / "d3"),
+        num_workers=1, num_threads=0,
+        gaussian=0, patch_size=32, padding=8, device=-2,
+    )
+    denoise3d_main(args)
+    # best-val checkpoint written
+    files = os.listdir(tmp_path / "models")
+    assert any(f.startswith("d3_epoch") for f in files)
+
+    from topaz_tpu.models.denoise_factory import load_denoiser
+
+    meta, params = load_denoiser(str(tmp_path / "models" / sorted(files)[-1]))
+    assert meta["dims"] == 3

@@ -1,0 +1,557 @@
+"""Denoising workflows: 2D micrographs and 3D tomograms.
+
+Workflow layer with the contract of topaz/denoise.py and the denoise /
+denoise3d commands: the Denoise/Denoise3D facades, the classical filter
+pipeline (lowpass -> normalize/outlier cutoff -> gaussian / inv-gaussian /
+whitening deconvolution -> model average -> rescale), patch-tiled inference
+with per-patch statistics, noise2noise training, and MRC stream drivers.
+
+Known reference bugs fixed here (SURVEY 7.4):
+  * topaz/denoise.py:388 shadows the lowpass function with its numeric
+    argument, so --lowpass > 1 crashes upstream; here it filters.
+  * topaz/commands/denoise.py:100-107 loads args.arch and ignores the
+    model names given with -m; here each named model is loaded, so
+    multi-model averaging works.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from topaz_tpu.io import mrc
+from topaz_tpu.io.image import load_image, save_image
+from topaz_tpu.models.denoise_factory import (
+    apply_fn_for,
+    load_denoiser,
+    new_denoiser,
+    save_denoiser,
+)
+from topaz_tpu.ops.filters import (
+    apply_kernel,
+    correct_spatial_covariance,
+    gaussian_denoise_kernel,
+    inv_gaussian_kernel,
+)
+from topaz_tpu.ops.fourier import lowpass as lowpass_filter
+
+
+class Denoise:
+    """2D micrograph denoiser facade (topaz/denoise.py:245-332)."""
+
+    dims = 2
+
+    def __init__(self, model: str = "unet", precision=None):
+        self.meta, self.params = load_denoiser(model)
+        self.apply_fn = apply_fn_for(self.meta)
+        self.precision = precision
+        self._jit_cache: Dict = {}
+
+    def _apply(self, x: np.ndarray) -> np.ndarray:
+        """Normalize by the input's own statistics, denoise, un-normalize
+        (topaz/denoise.py:274-296)."""
+        import jax
+        import jax.numpy as jnp
+
+        key = x.shape
+        if key not in self._jit_cache:
+            dims = self.dims
+
+            @jax.jit
+            def fn(params, x):
+                mu = jnp.mean(x)
+                std = jnp.std(x)
+                xin = ((x - mu) / std)[None, ..., None]
+                y = self.apply_fn(params, xin, dims=dims,
+                                  precision=self.precision)[0, ..., 0]
+                return y * std + mu
+
+            self._jit_cache[key] = fn
+        return np.asarray(self._jit_cache[key](self.params, jnp.asarray(x)))
+
+    def denoise_patches(self, x: np.ndarray, patch_size: int,
+                        padding: int = 128) -> np.ndarray:
+        """Patch-tiled denoising with per-patch statistics
+        (topaz/denoise.py:299-324)."""
+        y = np.zeros_like(x)
+        for i in range(0, x.shape[0], patch_size):
+            for j in range(0, x.shape[1], patch_size):
+                si, ei = max(0, i - padding), min(x.shape[0], i + patch_size + padding)
+                sj, ej = max(0, j - padding), min(x.shape[1], j + patch_size + padding)
+                yij = self._apply(x[si:ei, sj:ej])
+                oi, oj = i - si, j - sj
+                y[i : i + patch_size, j : j + patch_size] = \
+                    yij[oi : oi + patch_size, oj : oj + patch_size]
+        return y
+
+    def denoise(self, x: np.ndarray, patch_size: int = -1,
+                padding: int = 128) -> np.ndarray:
+        s = patch_size + padding
+        use_patch = patch_size > 0 and (s < x.shape[0] or s < x.shape[1])
+        return (self.denoise_patches(x, patch_size, padding=padding)
+                if use_patch else self._apply(x))
+
+    def train(self, train_sampler, val_sampler, **kw):
+        self.params = train_denoiser(self.meta, self.params, train_sampler,
+                                     val_sampler, dims=self.dims, **kw)
+
+
+class Denoise3D(Denoise):
+    """Tomogram denoiser facade (topaz/denoise.py:336-377)."""
+
+    dims = 3
+
+    def denoise(self, tomo: np.ndarray, patch_size: int = 96,
+                padding: int = 48, batch_size: int = 1, volume_num: int = 1,
+                total_volumes: int = 1, verbose: bool = True) -> np.ndarray:
+        if patch_size < 1:
+            return self._apply(tomo)
+
+        import jax
+        import jax.numpy as jnp
+
+        mu, std = tomo.mean(), tomo.std()
+        denoised = np.zeros_like(tomo)
+        d = patch_size + 2 * padding
+        grid = [int(np.ceil(n / patch_size)) for n in tomo.shape]
+        total = int(np.prod(grid))
+        count = 0
+
+        dims = self.dims
+        if "vol" not in self._jit_cache:
+            @jax.jit
+            def fn(params, x):
+                # volume-level statistics, patch normalized like the
+                # reference (denoise.py:354-356 normalizes with the global
+                # mu/std, then _denoise re-normalizes per patch)
+                m2 = jnp.mean(x)
+                s2 = jnp.std(x)
+                xin = ((x - m2) / s2)[None, ..., None]
+                y = self.apply_fn(params, xin, dims=dims,
+                                  precision=self.precision)[0, ..., 0]
+                return y * s2 + m2
+
+            self._jit_cache["vol"] = fn
+        fn = self._jit_cache["vol"]
+
+        for pi in range(grid[0]):
+            for pj in range(grid[1]):
+                for pk in range(grid[2]):
+                    i, j, k = (pi * patch_size, pj * patch_size, pk * patch_size)
+                    x = np.zeros((d, d, d), dtype=np.float32)
+                    si, ei = max(0, i - padding), min(tomo.shape[0], i + patch_size + padding)
+                    sj, ej = max(0, j - padding), min(tomo.shape[1], j + patch_size + padding)
+                    sk, ek = max(0, k - padding), min(tomo.shape[2], k + patch_size + padding)
+                    x[padding - i + si : padding - i + si + (ei - si),
+                      padding - j + sj : padding - j + sj + (ej - sj),
+                      padding - k + sk : padding - k + sk + (ek - sk)] = \
+                        tomo[si:ei, sj:ej, sk:ek]
+                    xn = (x - mu) / std
+                    y = np.asarray(fn(self.params, jnp.asarray(xn))) * std + mu
+                    patch = denoised[i : i + patch_size, j : j + patch_size,
+                                     k : k + patch_size]
+                    pz, py, px = patch.shape
+                    denoised[i : i + patch_size, j : j + patch_size,
+                             k : k + patch_size] = \
+                        y[padding : padding + pz, padding : padding + py,
+                          padding : padding + px]
+                    count += 1
+                    if verbose:
+                        print(f"# [{volume_num}/{total_volumes}] "
+                              f"{round(count * 100 / total)}%",
+                              file=sys.stderr, end="\r")
+        if verbose:
+            print(" " * 100, file=sys.stderr, end="\r")
+        return denoised
+
+
+# ---------------------------------------------------------------------------
+# noise2noise training (topaz/denoising/models.py:636-758)
+# ---------------------------------------------------------------------------
+
+def train_denoiser(meta, params, train_sampler, val_sampler, loss_fn: str = "L2",
+                   optim: str = "adagrad", lr: float = 0.001,
+                   weight_decay: float = 0, batch_size: int = 10,
+                   num_epochs: int = 500, num_workers: int = 1,
+                   verbose: bool = True, save_best: bool = False,
+                   save_interval: Optional[int] = None,
+                   save_prefix: Optional[str] = None, dims: int = 2,
+                   precision=None):
+    import time
+    import datetime
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from topaz_tpu.train.trainer import make_optimizer
+
+    output, log = sys.stdout, sys.stderr
+    digits = int(np.ceil(np.log10(max(num_epochs, 2))))
+    if save_prefix is not None:
+        save_dir = os.path.dirname(save_prefix)
+        if save_dir and not os.path.exists(save_dir):
+            print("# creating save directory:", save_dir, file=log)
+            os.makedirs(save_dir)
+
+    start_time = time.time()
+    now = datetime.datetime.now()
+    print(f"# starting time: {now.month:02d}/{now.day:02d}/{now.year:04d} "
+          f"{now.hour:02d}h:{now.minute:02d}m:{now.second:02d}s", file=log)
+
+    gamma_annealed = loss_fn == "L0"
+
+    def criteria(pred, target, gamma):
+        if loss_fn == "L0":
+            return jnp.mean((jnp.abs(pred - target) + 1e-8) ** gamma)
+        if loss_fn == "L1":
+            return jnp.mean(jnp.abs(pred - target))
+        if loss_fn == "L2":
+            return jnp.mean((pred - target) ** 2)
+        raise ValueError(f"Loss function: {loss_fn} not one of [L0, L1, L2].")
+
+    if optim == "sgd":
+        optimizer = optax.sgd(lr, momentum=0.9, nesterov=True)
+    else:
+        optimizer = make_optimizer(lr, optim)
+    if weight_decay > 0:
+        optimizer = optax.chain(optax.add_decayed_weights(weight_decay), optimizer)
+
+    apply_fn = apply_fn_for(meta)
+
+    def loss_of(params, src, tgt, gamma):
+        pred = apply_fn(params, src[..., None], dims=dims, precision=precision)
+        return criteria(pred[..., 0], tgt, gamma)
+
+    @jax.jit
+    def train_step(params, opt_state, src, tgt, gamma):
+        loss, grads = jax.value_and_grad(loss_of)(params, src, tgt, gamma)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    eval_loss = jax.jit(loss_of)
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    opt_state = optimizer.init(params)
+
+    print("# training model...", file=log)
+    if verbose:
+        print("\t".join(["Epoch", "Train Loss", "Val Loss", "Best Val Loss"]),
+              file=output)
+
+    def _save(epoch):
+        path = save_prefix + f"_epoch{epoch:0{digits}}.npz"
+        save_denoiser(path, meta, params)
+
+    best_val = np.inf
+    for epoch in range(num_epochs):
+        gamma = 2 - (epoch - 1) * 2 / num_epochs if gamma_annealed else 2.0
+
+        n, train_loss = 0, 0.0
+        for src, tgt in train_sampler.batches(batch_size, shuffle=True):
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(src), jnp.asarray(tgt), gamma)
+            b = src.shape[0]
+            n += b
+            train_loss += b * (float(loss) - train_loss) / n
+
+        n, val_loss = 0, 0.0
+        val_iter = (val_sampler.batches(batch_size, shuffle=False)
+                    if hasattr(val_sampler, "batches")
+                    else val_sampler.batches(batch_size, mode="test"))
+        for src, tgt in val_iter:
+            loss = float(eval_loss(params, jnp.asarray(src), jnp.asarray(tgt), gamma))
+            b = src.shape[0]
+            n += b
+            val_loss += b * (loss - val_loss) / n
+
+        if val_loss < best_val:
+            best_val = val_loss
+            if save_best and save_prefix is not None:
+                _save(epoch + 1)
+
+        if verbose:
+            vals = (train_loss, val_loss, best_val)
+            print("\t".join([f"# [{epoch}/{num_epochs}]"]
+                            + [str(round(v, 5)) for v in vals]),
+                  file=output, end="\r")
+        if save_prefix is not None and save_interval is not None \
+                and (epoch + 1) % save_interval == 0:
+            _save(epoch + 1)
+
+    print("# training completed!", file=log)
+    end_time = time.time()
+    print("# total time:",
+          time.strftime("%Hh:%Mm:%Ss", time.gmtime(end_time - start_time)),
+          file=log)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# 2D pipeline drivers (topaz/denoise.py:382-490)
+# ---------------------------------------------------------------------------
+
+def denoise_image(mic: np.ndarray, models: List[Denoise], lowpass: float = 1,
+                  cutoff: float = 0, gaus: Optional[float] = None,
+                  inv_gaus: Optional[float] = None, deconvolve: bool = False,
+                  deconv_patch: int = 1, patch_size: int = -1,
+                  padding: int = 0, normalize: bool = False) -> np.ndarray:
+    """Full single-micrograph pipeline (topaz/denoise.py:382-416)."""
+    mic = np.asarray(mic, dtype=np.float32)
+    if lowpass > 1:
+        mic = np.asarray(lowpass_filter(mic, lowpass))
+
+    mu, std = mic.mean(), mic.std()
+    x = (mic - mu) / std
+    if cutoff > 0:
+        x[(x < -cutoff) | (x > cutoff)] = 0
+
+    if gaus is not None:
+        x = np.asarray(apply_kernel(x, gaussian_denoise_kernel(gaus)))
+    elif inv_gaus is not None:
+        x = np.asarray(apply_kernel(x, inv_gaussian_kernel(inv_gaus)))
+    elif deconvolve:
+        x = np.asarray(correct_spatial_covariance(x, patch=deconv_patch))
+
+    out = sum(model.denoise(x, patch_size=patch_size, padding=padding)
+              for model in models) / len(models)
+
+    if normalize:
+        out = (out - out.mean()) / out.std()
+    else:
+        out = std * out + mu
+    return out
+
+
+def denoise_stream(micrographs: List[str], output_path: str, format: str = "mrc",
+                   suffix: str = "", models: Optional[List[Denoise]] = None,
+                   lowpass: float = 1, pixel_cutoff: float = 0,
+                   gaus=None, inv_gaus=None, deconvolve: bool = False,
+                   deconv_patch: int = 1, patch_size: int = 1024,
+                   padding: int = 500, normalize: bool = False):
+    """Per-micrograph denoise + save (topaz/denoise.py:450-490)."""
+    total, count = len(micrographs), 0
+    denoised = []
+    if output_path:
+        os.makedirs(output_path, exist_ok=True)
+    for path in micrographs:
+        name = os.path.splitext(os.path.basename(path))[0]
+        image, header, ext_header = load_image(path, return_header=True)
+        out = denoise_image(image, models, lowpass=lowpass, cutoff=pixel_cutoff,
+                            gaus=gaus, inv_gaus=inv_gaus, deconvolve=deconvolve,
+                            deconv_patch=deconv_patch, patch_size=patch_size,
+                            padding=padding, normalize=normalize)
+        denoised.append(out)
+        if not output_path:
+            sfx = suffix or ".denoised"
+            outpath = os.path.splitext(path)[0] + sfx + "." + format
+        else:
+            outpath = os.path.join(output_path, name + suffix + "." + format)
+        save_image(out, outpath, header=header, extended_header=ext_header)
+        count += 1
+        print(f"# {count} of {total} completed.", file=sys.stderr, end="\r")
+    print("", file=sys.stderr)
+    return denoised
+
+
+def denoise_stack(path: str, output_path: str, models: List[Denoise],
+                  lowpass: float = 1, pixel_cutoff: float = 0, gaus=None,
+                  inv_gaus=None, deconvolve: bool = False, deconv_patch: int = 1,
+                  patch_size: int = 1024, padding: int = 500,
+                  normalize: bool = False):
+    """Denoise every frame of one MRC stack (topaz/denoise.py:419-447)."""
+    stack, header, ext_header = mrc.read(path)
+    print("# denoising stack with shape:", stack.shape, file=sys.stderr)
+    denoised = np.zeros_like(stack, dtype=np.float32)
+    for i in range(len(stack)):
+        denoised[i] = denoise_image(
+            stack[i], models, lowpass=lowpass, cutoff=pixel_cutoff, gaus=gaus,
+            inv_gaus=inv_gaus, deconvolve=deconvolve, deconv_patch=deconv_patch,
+            patch_size=patch_size, padding=padding, normalize=normalize)
+        print(f"# {i + 1} of {len(stack)} completed.", file=sys.stderr, end="\r")
+    print("", file=sys.stderr)
+    print("# writing to", output_path, file=sys.stderr)
+    mrc.write(output_path, denoised, header=header, extended_header=ext_header)
+    return denoised
+
+
+# ---------------------------------------------------------------------------
+# 3D drivers (topaz/denoise.py:495-557)
+# ---------------------------------------------------------------------------
+
+def denoise_tomogram(path: str, model: Denoise3D, outdir: Optional[str] = None,
+                     suffix: str = "", patch_size: int = 96, padding: int = 48,
+                     volume_num: int = 1, total_volumes: int = 1,
+                     gaus: Optional[float] = None, verbose: bool = True):
+    name = os.path.basename(path)
+    tomo, header, ext_header = mrc.read(path)
+    tomo = tomo.astype(np.float32)
+    denoised = model.denoise(tomo, patch_size=patch_size, padding=padding,
+                             volume_num=volume_num,
+                             total_volumes=total_volumes, verbose=verbose)
+    if gaus is not None:
+        denoised = np.asarray(
+            apply_kernel(denoised, gaussian_denoise_kernel(gaus, dims=3), dims=3)
+        )
+
+    if not outdir:
+        sfx = suffix or ".denoised"
+        no_ext, ext = os.path.splitext(path)
+        outpath = no_ext + sfx + ext
+    else:
+        no_ext, ext = os.path.splitext(name)
+        outpath = os.path.join(outdir, no_ext + suffix + ext)
+
+    header = header.replace(mode=2, amin=denoised.min(), amax=denoised.max(),
+                            amean=denoised.mean())
+    mrc.write(outpath, denoised, header=header, extended_header=ext_header)
+    return denoised
+
+
+def denoise_tomogram_stream(volumes: List[str], model: Denoise3D,
+                            output_path: str, suffix: str = "",
+                            gaus: Optional[float] = None, patch_size: int = 96,
+                            padding: int = 48, verbose: bool = True):
+    total, count = len(volumes), 0
+    out = []
+    if output_path:
+        os.makedirs(output_path, exist_ok=True)
+    g = gaus if (gaus or 0) > 0 else None
+    for idx, path in enumerate(volumes):
+        out.append(denoise_tomogram(path, model, outdir=output_path,
+                                    suffix=suffix, patch_size=patch_size,
+                                    padding=padding, volume_num=idx + 1,
+                                    total_volumes=total, gaus=g,
+                                    verbose=verbose))
+        count += 1
+        print(f"# {count} of {total} tomograms denoised.", file=sys.stderr,
+              end="\r")
+    print("", file=sys.stderr)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CLI glue
+# ---------------------------------------------------------------------------
+
+def denoise_main(args):
+    """topaz denoise (topaz/commands/denoise.py:75-130)."""
+    do_train = (args.dir_a is not None and args.dir_b is not None) or \
+               (args.hdf is not None)
+    if do_train:
+        from topaz_tpu.train.denoise_data import (make_hdf5_samplers,
+                                                  make_paired_images_samplers)
+
+        try:
+            denoiser = Denoise(args.arch)
+        except FileNotFoundError:
+            from topaz_tpu.models.denoise_factory import new_denoiser
+
+            meta, params = new_denoiser(args.arch)
+            denoiser = Denoise.__new__(Denoise)
+            denoiser.meta, denoiser.params = meta, params
+            denoiser.apply_fn = apply_fn_for(meta)
+            denoiser.precision = None
+            denoiser._jit_cache = {}
+
+        if args.hdf is None:
+            train_s, val_s = make_paired_images_samplers(
+                args.dir_a, args.dir_b, crop=args.crop, holdout=args.holdout,
+                cutoff=args.pixel_cutoff)
+        else:
+            train_s, val_s = make_hdf5_samplers(
+                args.hdf, holdout=args.holdout, cutoff=args.pixel_cutoff)
+        denoiser.train(train_s, val_s, loss_fn=args.criteria, optim=args.optim,
+                       lr=args.lr, batch_size=args.batch_size,
+                       num_epochs=args.num_epochs, save_best=True,
+                       save_interval=args.save_interval,
+                       save_prefix=args.save_prefix)
+        models = [denoiser]
+    else:
+        models = []
+        for name in args.model:
+            if name == "none":
+                print("# Warning: no denoising model will be used",
+                      file=sys.stderr)
+                continue
+            print("# Loading model:", name, file=sys.stderr)
+            models.append(Denoise(name))
+        if not models:
+            return
+
+    normalize = True if args.format_ in ("png", "jpg") else args.normalize
+    gaus = args.gaussian if args.gaussian > 0 else None
+    inv_gaus = args.inv_gaussian if args.inv_gaussian > 0 else None
+
+    if len(args.micrographs) < 1:
+        return
+    if args.stack:
+        return denoise_stack(args.micrographs[0], args.output, models,
+                             lowpass=args.lowpass,
+                             pixel_cutoff=args.pixel_cutoff, gaus=gaus,
+                             inv_gaus=inv_gaus, deconvolve=args.deconvolve,
+                             deconv_patch=args.deconv_patch,
+                             patch_size=args.patch_size,
+                             padding=args.patch_padding, normalize=normalize)
+    return denoise_stream(args.micrographs, args.output, args.format_,
+                          args.suffix, models, lowpass=args.lowpass,
+                          pixel_cutoff=args.pixel_cutoff, gaus=gaus,
+                          inv_gaus=inv_gaus, deconvolve=args.deconvolve,
+                          deconv_patch=args.deconv_patch,
+                          patch_size=args.patch_size,
+                          padding=args.patch_padding, normalize=normalize)
+
+
+def denoise3d_main(args):
+    """topaz denoise3d (topaz/commands/denoise3d.py:88-130)."""
+    do_train = (args.even_train_path is not None) or \
+               (args.odd_train_path is not None)
+    if do_train:
+        from topaz_tpu.train.denoise_data import PairedTiles3D
+
+        try:
+            denoiser = Denoise3D(args.model)
+        except FileNotFoundError:
+            meta, params = new_denoiser("unet", base_width=args.base_kernel_width,
+                                        dims=3)
+            denoiser = Denoise3D.__new__(Denoise3D)
+            denoiser.meta, denoiser.params = meta, params
+            denoiser.apply_fn = apply_fn_for(meta)
+            denoiser.precision = None
+            denoiser._jit_cache = {}
+
+        data = PairedTiles3D(args.even_train_path, args.odd_train_path,
+                             args.crop, args.N_train, args.N_test)
+
+        class _Wrapper:
+            def __init__(self, mode):
+                self.mode = mode
+
+            def batches(self, batch_size, shuffle=True, mode=None):
+                return data.batches(batch_size, mode=self.mode, shuffle=shuffle)
+
+        denoiser.train(_Wrapper("train"), _Wrapper("test"),
+                       loss_fn=args.criteria, optim=args.optim, lr=args.lr,
+                       weight_decay=args.weight_decay,
+                       batch_size=args.batch_size, num_epochs=args.num_epochs,
+                       save_best=True, save_interval=args.save_interval,
+                       save_prefix=args.save_prefix)
+    else:
+        if args.model == "none":
+            print("# Warning: no denoising model will be used", file=sys.stderr)
+            return
+        print("# Loading model:", args.model, file=sys.stderr)
+        denoiser = Denoise3D(args.model)
+
+    if len(args.volumes) < 1:
+        return
+    print(f"# denoising {len(args.volumes)} tomograms with patch size="
+          f"{args.patch_size} and padding={args.patch_padding}",
+          file=sys.stderr)
+    return denoise_tomogram_stream(args.volumes, denoiser, args.output,
+                                   suffix=args.suffix, gaus=args.gaussian,
+                                   patch_size=args.patch_size,
+                                   padding=args.patch_padding)

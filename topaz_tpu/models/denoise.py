@@ -1,0 +1,289 @@
+"""Noise2noise denoiser model family (2D + 3D), functional JAX.
+
+Architectures with the contract of topaz/denoising/models.py:
+  * UDenoiseNet        (models.py:74-175)  — 5-level U-Net, nearest-neighbor
+    upsampling, skip concats from every encoder level plus the raw input
+  * UDenoiseNetSmall   (models.py:178-244) — 3-level variant
+  * UDenoiseNet2       (models.py:247-346) — no concat on the top two levels
+  * UDenoiseNet3       (models.py:349-449) — predicts the noise residual
+  * UDenoiseNet3D      (models.py:452-564) — 3D U-Net
+  * DenoiseNet2        (models.py:52-66)   — 3-layer wide FCNN ("fcnn")
+  * AffineDenoise      (topaz/filters.py:40-48) — one learnable 31x31 conv
+
+Parameter trees mirror the torch state-dict structure (module name ->
+sequential index -> w/b) so conversion from the bundled pretrained .sav
+files is a pure layout transpose. All convs are SAME-padded; pooling is
+2x max; upsampling uses torch's floor-indexed nearest-neighbor rule so
+odd-sized levels reproduce the reference exactly.
+
+Known reference divergences (not replicated): DenoiseNet (models.py:25-49)
+has mismatched channel counts at models.py:41 and cannot run; the 'fcnet2'
+CLI arch therefore has no working reference definition.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _conv(x, p, dims=2, precision=None):
+    """SAME-padded conv on channels-last input."""
+    dn = ("NHWC", "HWIO", "NHWC") if dims == 2 else ("NDHWC", "DHWIO", "NDHWC")
+    y = lax.conv_general_dilated(
+        x, p["w"], (1,) * dims, "SAME", dimension_numbers=dn,
+        precision=precision,
+    )
+    return y + p["b"]
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, 0.1)
+
+
+def _pool2(x, dims=2):
+    window = (1,) + (2,) * dims + (1,)
+    return lax.reduce_window(x, -jnp.inf, lax.max, window, window, "VALID")
+
+
+def _up_nearest(x, size, dims=2):
+    """torch F.interpolate(mode='nearest'): src index = floor(dst * in/out)."""
+    for d in range(dims):
+        axis = 1 + d
+        n_in = x.shape[axis]
+        n_out = size[d]
+        if n_in != n_out:
+            idx = (jnp.arange(n_out) * n_in) // n_out
+            x = jnp.take(x, idx, axis=axis)
+    return x
+
+
+def _spatial(x, dims):
+    return tuple(x.shape[1 : 1 + dims])
+
+
+def apply_unet(params: Dict, x: jnp.ndarray, dims: int = 2,
+               residual: bool = False, precision=None) -> jnp.ndarray:
+    """UDenoiseNet / UDenoiseNet3 / UDenoiseNet3D forward
+    (models.py:130-175, 404-449, 508-564). x: (N, *spatial, 1)."""
+    c = lambda h, name, i: _conv(h, params[name][str(i)], dims, precision)
+
+    p1 = _pool2(_lrelu(c(x, "enc1", 0)), dims)
+    p2 = _pool2(_lrelu(c(p1, "enc2", 0)), dims)
+    p3 = _pool2(_lrelu(c(p2, "enc3", 0)), dims)
+    p4 = _pool2(_lrelu(c(p3, "enc4", 0)), dims)
+    p5 = _pool2(_lrelu(c(p4, "enc5", 0)), dims)
+    h = _lrelu(c(p5, "enc6", 0))
+
+    for name, skip in (("dec5", p4), ("dec4", p3), ("dec3", p2), ("dec2", p1)):
+        h = _up_nearest(h, _spatial(skip, dims), dims)
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = _lrelu(c(h, name, 0))
+        h = _lrelu(c(h, name, 2))
+
+    h = _up_nearest(h, _spatial(x, dims), dims)
+    h = jnp.concatenate([h, x], axis=-1)
+    h = _lrelu(c(h, "dec1", 0))
+    h = _lrelu(c(h, "dec1", 2))
+    y = c(h, "dec1", 4)
+    return x - y if residual else y
+
+
+def apply_unet_small(params: Dict, x: jnp.ndarray, dims: int = 2,
+                     precision=None) -> jnp.ndarray:
+    """UDenoiseNetSmall forward (models.py:215-244)."""
+    c = lambda h, name, i: _conv(h, params[name][str(i)], dims, precision)
+    p1 = _pool2(_lrelu(c(x, "enc1", 0)), dims)
+    p2 = _pool2(_lrelu(c(p1, "enc2", 0)), dims)
+    p3 = _pool2(_lrelu(c(p2, "enc3", 0)), dims)
+    h = _lrelu(c(p3, "enc4", 0))
+
+    for name, skip in (("dec3", p2), ("dec2", p1)):
+        h = _up_nearest(h, _spatial(skip, dims), dims)
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = _lrelu(c(h, name, 0))
+        h = _lrelu(c(h, name, 2))
+
+    h = _up_nearest(h, _spatial(x, dims), dims)
+    h = jnp.concatenate([h, x], axis=-1)
+    h = _lrelu(c(h, "dec1", 0))
+    h = _lrelu(c(h, "dec1", 2))
+    return c(h, "dec1", 4)
+
+
+def apply_unet2(params: Dict, x: jnp.ndarray, dims: int = 2,
+                precision=None) -> jnp.ndarray:
+    """UDenoiseNet2 forward (models.py:303-346): top two decoder levels
+    upsample without skip concats."""
+    c = lambda h, name, i: _conv(h, params[name][str(i)], dims, precision)
+    p1 = _pool2(_lrelu(c(x, "enc1", 0)), dims)
+    p2 = _pool2(_lrelu(c(p1, "enc2", 0)), dims)
+    p3 = _pool2(_lrelu(c(p2, "enc3", 0)), dims)
+    p4 = _pool2(_lrelu(c(p3, "enc4", 0)), dims)
+    p5 = _pool2(_lrelu(c(p4, "enc5", 0)), dims)
+    h = _lrelu(c(p5, "enc6", 0))
+
+    for name, skip in (("dec5", p4), ("dec4", p3), ("dec3", p2)):
+        h = _up_nearest(h, _spatial(skip, dims), dims)
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = _lrelu(c(h, name, 0))
+        h = _lrelu(c(h, name, 2))
+
+    h = _up_nearest(h, _spatial(p1, dims), dims)
+    h = _lrelu(c(h, "dec2", 0))
+    h = _lrelu(c(h, "dec2", 2))
+    h = _up_nearest(h, _spatial(x, dims), dims)
+    h = _lrelu(c(h, "dec1", 0))
+    h = _lrelu(c(h, "dec1", 2))
+    return c(h, "dec1", 4)
+
+
+def apply_fcnn(params: Dict, x: jnp.ndarray, dims: int = 2,
+               precision=None) -> jnp.ndarray:
+    """DenoiseNet2 forward (models.py:52-66)."""
+    c = lambda h, i: _conv(h, params["net"][str(i)], dims, precision)
+    h = _lrelu(c(x, 0))
+    h = _lrelu(c(h, 2))
+    return c(h, 4)
+
+
+def apply_affine(params: Dict, x: jnp.ndarray, dims: int = 2,
+                 precision=None) -> jnp.ndarray:
+    """AffineDenoise forward (topaz/filters.py:40-48)."""
+    return _conv(x, params["filter"], dims, precision)
+
+
+# ---------------------------------------------------------------------------
+# architecture registry
+# ---------------------------------------------------------------------------
+
+APPLY_FNS = {
+    "unet": lambda p, x, dims=2, precision=None: apply_unet(p, x, dims, False, precision),
+    "unet3": lambda p, x, dims=2, precision=None: apply_unet(p, x, dims, True, precision),
+    "unet-small": apply_unet_small,
+    "unet2": apply_unet2,
+    "fcnet": apply_fcnn,
+    "affine": apply_affine,
+}
+
+
+def _unet_layout(nf, base_width, top_width, levels=5):
+    layout = {"enc1": {"0": (base_width, 1, nf)}}
+    for i in range(2, levels + 1):
+        layout[f"enc{i}"] = {"0": (3, nf, nf)}
+    layout[f"enc{levels + 1}"] = {"0": (3, nf, nf)}
+    decs = list(range(levels, 1, -1))
+    first = True
+    for d in decs:
+        cin = 2 * nf if first else 3 * nf
+        layout[f"dec{d}"] = {"0": (3, cin, 2 * nf), "2": (3, 2 * nf, 2 * nf)}
+        first = False
+    layout["dec1"] = {
+        "0": (top_width, 2 * nf + 1, 64),
+        "2": (top_width, 64, 32),
+        "4": (top_width, 32, 1),
+    }
+    return layout
+
+
+def arch_layout(arch: str, nf: int = 48, base_width: int = 11,
+                top_width: int = 3) -> Dict[str, Dict[str, Tuple[int, int, int]]]:
+    """Conv shape layout {module: {idx: (kernel, cin, cout)}} per arch."""
+    if arch in ("unet", "unet3"):
+        lay = _unet_layout(nf, base_width, top_width, levels=5)
+        if arch == "unet3":
+            lay["dec1"]["0"] = (top_width, 2 * nf + 1, 64)
+        return lay
+    if arch == "unet-small":
+        return _unet_layout(nf, base_width, top_width, levels=3)
+    if arch == "unet2":
+        lay = _unet_layout(nf, base_width, top_width, levels=5)
+        lay["dec2"] = {"0": (3, 2 * nf, 2 * nf), "2": (3, 2 * nf, 2 * nf)}
+        lay["dec1"] = {"0": (top_width, 2 * nf, 64), "2": (top_width, 64, 32),
+                       "4": (top_width, 32, 1)}
+        return lay
+    if arch == "fcnet":
+        return {"net": {"0": (base_width, 1, nf), "2": (base_width, nf, nf),
+                        "4": (base_width, nf, 1)}}
+    if arch == "affine":
+        return {"filter": {"": (31, 1, 1)}}
+    raise ValueError(f"unknown denoiser arch: {arch}")
+
+
+def init_denoiser(arch: str, rng, nf: int = 48, base_width: int = 11,
+                  top_width: int = 3, dims: int = 2) -> Dict:
+    """Initialize params with torch-compatible uniform init; the affine
+    model is zero-initialized like the reference (filters.py:42-45)."""
+    layout = arch_layout(arch, nf=nf, base_width=base_width, top_width=top_width)
+    params: Dict = {}
+    for mod, convs in layout.items():
+        entry = {}
+        for idx, (k, cin, cout) in convs.items():
+            rng, r1, r2 = jax.random.split(rng, 3)
+            fan_in = cin * k**dims
+            bound = 1.0 / np.sqrt(fan_in)
+            shape = (k,) * dims + (cin, cout)
+            if arch == "affine":
+                p = {"w": jnp.zeros(shape), "b": jnp.zeros(cout)}
+            else:
+                p = {
+                    "w": jax.random.uniform(r1, shape, jnp.float32, -bound, bound),
+                    "b": jax.random.uniform(r2, (cout,), jnp.float32, -bound, bound),
+                }
+            if idx == "":
+                entry = p
+            else:
+                entry[idx] = p
+        params[mod] = entry
+    return params
+
+
+def denoiser_params_from_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map a torch denoiser state dict (enc1.0.weight, ...) to our tree."""
+    from topaz_tpu.models.convert import _to_hwio
+
+    params: Dict = {}
+    for key, val in sd.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf not in ("weight", "bias"):
+            continue
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if leaf == "weight":
+            node["w"] = _to_hwio(np.asarray(val))
+        else:
+            node["b"] = np.asarray(val)
+    # AffineDenoise stores 'filter.weight' directly
+    return params
+
+
+def infer_denoiser_arch(sd: Dict[str, np.ndarray]) -> Dict:
+    """Guess (arch, nf, base_width, top_width, dims) from state dict shapes."""
+    if "filter.weight" in sd:
+        return {"arch": "affine", "dims": 2}
+    if "net.0.weight" in sd:
+        w = sd["net.0.weight"]
+        return {"arch": "fcnet", "nf": int(w.shape[0]),
+                "base_width": int(w.shape[-1]), "dims": 2}
+    w = sd["enc1.0.weight"]
+    dims = w.ndim - 2
+    nf = int(w.shape[0])
+    base_width = int(w.shape[-1])
+    top_width = int(sd["dec1.0.weight"].shape[-1])
+    if "enc6.0.weight" in sd:
+        dec1_in = sd["dec1.0.weight"].shape[1]
+        if dec1_in == 2 * nf:
+            arch = "unet2"
+        else:
+            arch = "unet"  # unet3 indistinguishable by shape; unet is standard
+    else:
+        arch = "unet-small"
+    return {"arch": arch, "nf": nf, "base_width": base_width,
+            "top_width": top_width, "dims": dims}
