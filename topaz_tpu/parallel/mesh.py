@@ -1,0 +1,133 @@
+"""Device-mesh scale-out: data-parallel batching and spatial halo sharding.
+
+The reference's only parallelism is single-process DataParallel and CPU
+pools (SURVEY 2.8). Here scale-out is one jax.sharding.Mesh with two axes:
+
+  * ``data``  — micrograph/crop batch (the v5e-8 scale-out axis); jit over
+    sharded batches makes XLA insert gradient psums — this replaces both
+    DataParallel and the multiprocessing fan-outs.
+  * ``space`` — spatial sharding of one large image/volume across devices
+    with receptive-field halo exchange (ppermute over ICI); this is the
+    "context parallel" analog of the reference's Python patch loops
+    (topaz/model/utils.py:110-193).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_space: int = 1,
+              devices=None) -> Mesh:
+    """Create a (data, space) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_space
+    devs = np.array(devices[: n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(devs, ("data", "space"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# batched data-parallel scoring (config 5: micrograph batch over the mesh)
+# ---------------------------------------------------------------------------
+
+def make_batched_scorer(spec, params, state, mesh: Mesh, precision=None):
+    """Batch dense scorer sharded over the mesh's data axis.
+
+    Input (B, H, W) with B divisible by the data-axis size; output the
+    (B, H, W) score maps, sharded the same way (no cross-device talk —
+    embarrassingly parallel, the collectives appear in training)."""
+    from topaz_tpu.models.picker import apply_picker
+
+    in_shard = NamedSharding(mesh, P("data", None, None))
+
+    @partial(jax.jit, in_shardings=(in_shard,), out_shardings=in_shard)
+    def score(batch):
+        y, _ = apply_picker(spec, params, batch, state=state, dense=True,
+                            precision=precision)
+        return y
+
+    return score
+
+
+# ---------------------------------------------------------------------------
+# spatial halo sharding (the sequence/context-parallel analog)
+# ---------------------------------------------------------------------------
+
+def make_halo_dense_scorer(spec, params, state, mesh: Mesh, precision=None):
+    """Dense scoring of ONE large micrograph with rows sharded over the
+    mesh's ``space`` axis and receptive-field halos exchanged via ppermute.
+
+    Result equals whole-image dense scoring: each shard pads its block with
+    the neighbors' edge rows (width//2 deep) instead of zeros, scores it
+    valid, and keeps its own rows.
+    """
+    from jax import shard_map
+
+    from topaz_tpu.models.picker import apply_picker
+
+    halo = spec.width // 2
+    axis = "space"
+    n_shards = mesh.shape[axis]
+
+    def shard_fn(block):  # block: (H/n, W) on each device
+        # shard i receives the bottom rows of shard i-1 (its top halo) and
+        # the top rows of shard i+1 (its bottom halo); the ring wraparound
+        # at the outer edges is zeroed to restore open boundaries
+        top_halo = jax.lax.ppermute(
+            block[-halo:], axis,
+            [(i, (i + 1) % n_shards) for i in range(n_shards)])
+        bottom_halo = jax.lax.ppermute(
+            block[:halo], axis,
+            [(i, (i - 1) % n_shards) for i in range(n_shards)])
+        idx = jax.lax.axis_index(axis)
+        top_halo = jnp.where(idx > 0, top_halo, jnp.zeros_like(top_halo))
+        bottom_halo = jnp.where(idx < n_shards - 1, bottom_halo,
+                                jnp.zeros_like(bottom_halo))
+        x = jnp.concatenate([top_halo, block, bottom_halo], axis=0)
+        # pad W fully and H only by the remaining amount handled above
+        x = jnp.pad(x, ((0, 0), (halo, halo)))
+        y, _ = apply_picker(spec, params, x[None], state=state, dense=True,
+                            pad=False, precision=precision)
+        return y[0]
+
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(axis, None),
+    )
+
+    @jax.jit
+    def score(image):
+        return sharded(image)
+
+    return score
+
+
+# ---------------------------------------------------------------------------
+# data-parallel training step (multi-chip config for dryrun/bench)
+# ---------------------------------------------------------------------------
+
+def make_dp_train_step(spec, loss_fn, optimizer, n_pos: int, mesh: Mesh,
+                       l2: float = 0.0, precision=None):
+    """Training step with the crop batch sharded over 'data' and params
+    replicated; XLA inserts the gradient all-reduce over ICI."""
+    from topaz_tpu.train.trainer import make_train_step
+
+    return make_train_step(spec, loss_fn, optimizer, n_pos, l2=l2, mesh=mesh,
+                           precision=precision)
