@@ -152,9 +152,26 @@ def _greedy_rounds(score: jnp.ndarray, threshold: float, max_filter) -> jnp.ndar
     return accepted
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
 @partial(jax.jit, static_argnames=("r", "threshold"))
 def nms_mask_2d(score: jnp.ndarray, r: int, threshold: float) -> jnp.ndarray:
-    """Accepted-peak mask for 2D greedy NMS (jittable, vmappable)."""
+    """Accepted-peak mask for 2D greedy NMS (jittable, vmappable).
+
+    On TPU the disk max-filter runs as a fused single-pass Pallas kernel
+    (ops/nms_pallas.py, ~3x faster and far cheaper to compile than the
+    multi-pass lax decomposition)."""
+    if _on_tpu() and score.ndim == 2:
+        from topaz_tpu.ops.nms_pallas import disk_max_pallas
+
+        return _greedy_rounds(
+            score, threshold, lambda x, init: disk_max_pallas(x, r, init)
+        )
     return _greedy_rounds(score, threshold, lambda x, init: disk_max(x, r, init))
 
 
@@ -208,7 +225,14 @@ def nms_topk_2d(score: jnp.ndarray, r: int, threshold: float, k: int):
     """Fully on-device NMS returning fixed-size top-k results for fused
     pipelines: (scores[k], coords[k, 2] as (x, y), count). Entries past
     ``count`` hold -inf / (-1, -1)."""
-    mask = _greedy_rounds(score, threshold, lambda x, init: disk_max(x, r, init))
+    if _on_tpu() and score.ndim == 2:
+        from topaz_tpu.ops.nms_pallas import disk_max_pallas
+
+        mask = _greedy_rounds(score, threshold,
+                              lambda x, init: disk_max_pallas(x, r, init))
+    else:
+        mask = _greedy_rounds(score, threshold,
+                              lambda x, init: disk_max(x, r, init))
     W = score.shape[1]
     flat = jnp.where(mask, score, NEG).ravel()
     vals, idx = lax.top_k(flat, k)
