@@ -254,6 +254,7 @@ def apply_picker(
     train: bool = False,
     dropout_rng=None,
     precision=None,
+    return_latent: bool = False,
 ):
     """Apply the picker.
 
@@ -263,8 +264,11 @@ def apply_picker(
         input is zero-padded by width//2 so the output score map has the same
         spatial size as the input (ResNet.forward, resnet.py:243-251).
       pad: defaults to ``dense``.
+      return_latent: also return the feature-extractor output (used by the
+        autoencoder regularizer, topaz/methods.py:11-23).
 
-    Returns (score map (N, *out_spatial), new_state).
+    Returns (score map (N, *out_spatial), new_state), or
+    (score, latent, new_state) when return_latent.
     """
     dims = spec.dims
     if x.ndim == dims + 1:
@@ -296,4 +300,6 @@ def apply_picker(
     # 1x1 linear head
     y = conv_nd(x, params["classifier"]["w"], params["classifier"]["b"],
                 dims=dims, precision=precision)
+    if return_latent:
+        return y[..., 0], x, {"features": new_feat_state}
     return y[..., 0], {"features": new_feat_state}

@@ -44,7 +44,11 @@ def make_optimizer(lr: float, optim: str = "adam", momentum: float = 0.0) -> opt
 
 
 def _l2_penalty(params: Dict, l2: float) -> jnp.ndarray:
-    leaves = jax.tree_util.tree_leaves(params)
+    # the reference penalizes features + classifier only, never the
+    # generative decoder (topaz/methods.py:63-67)
+    leaves = jax.tree_util.tree_leaves(
+        {k: v for k, v in params.items() if k != "generative"}
+    )
     return 0.5 * l2 * sum(jnp.sum(w.astype(jnp.float32) ** 2) for w in leaves)
 
 
@@ -56,12 +60,17 @@ def make_train_step(
     l2: float = 0.0,
     mesh: Optional[jax.sharding.Mesh] = None,
     precision=None,
+    autoencoder: float = 0.0,
+    generator_width: int = 0,
 ):
     """Build the jitted train step.
 
     The step takes raw over-sized crops (B, S, S); augmentation (rotation /
     flips / center crop to the receptive field) runs on device.
     When ``mesh`` is given, the batch is sharded over its 'data' axis.
+    With ``autoencoder > 0`` the params tree carries a 'generative' decoder
+    and the loss adds the weighted reconstruction error
+    (topaz/methods.py:11-23).
     """
     crop = spec.width
     rotate = spec.dims == 2
@@ -69,12 +78,26 @@ def make_train_step(
     def loss_and_metrics(params, model_state, crops, rng, method_state):
         k_aug, k_drop = jax.random.split(rng)
         x = augment_crops(crops, k_aug, crop, rotate=rotate, flip=rotate)
-        score, new_model_state = apply_picker(
+        score, latent, new_model_state = apply_picker(
             spec, params, x, state=model_state, dense=False, train=True,
-            dropout_rng=k_drop, precision=precision,
+            dropout_rng=k_drop, precision=precision, return_latent=True,
         )
         score = score.reshape(-1)
         loss, new_method_state, metrics = loss_fn(score, n_pos, method_state)
+        if autoencoder > 0:
+            from topaz_tpu.models.generative import apply_generator
+
+            recon = apply_generator(params["generative"],
+                                    latent.reshape(latent.shape[0], -1),
+                                    train=True, precision=precision)[..., 0]
+            pad = (crop - generator_width) // 2
+            target = x[:, pad : pad + generator_width,
+                       pad : pad + generator_width]
+            recon_error = jnp.mean(
+                jnp.sum((target - recon).reshape(x.shape[0], -1) ** 2, axis=1)
+            )
+            loss = loss + recon_error * autoencoder
+            metrics = {**metrics, "recon_error": recon_error}
         if l2 > 0:
             loss = loss + _l2_penalty(params, l2)
         return loss, (new_model_state, new_method_state, metrics)

@@ -244,8 +244,28 @@ def train_model(args, output=None):
     balance = (num_positive / total_regions) if args.natural else args.minibatch_balance
     n_pos = max(1, int(round(args.minibatch_size * balance))) if balance else 0
 
+    # optional autoencoder regularizer (topaz/training.py:339-345)
+    gen_width = 0
+    if args.autoencoder > 0:
+        import jax
+
+        from topaz_tpu.models.generative import generator_width, init_generator
+
+        depth = int(np.log2(spec.width + 1) - 3)
+        gen_params, _ = init_generator(spec.latent_dim,
+                                       jax.random.PRNGKey(getattr(args, "seed", 0) + 1),
+                                       units=args.ngf, depth=depth)
+        params = {**params, "generative": gen_params}
+        gen_width = generator_width(depth)
+        header = header[:1] + ["recon_error"] + header[1:] \
+            if "ge_penalty" not in header else \
+            header[:2] + ["recon_error"] + header[2:]
+        report(f"Generator: units={args.ngf}, size={gen_width}")
+
     optimizer = make_optimizer(args.learning_rate, "adam")
-    step_fn = make_train_step(spec, loss_fn, optimizer, n_pos, l2=args.l2)
+    step_fn = make_train_step(spec, loss_fn, optimizer, n_pos, l2=args.l2,
+                              autoencoder=args.autoencoder,
+                              generator_width=gen_width)
     state = init_train_state(spec, params, model_state, optimizer, pi_adj,
                              seed=getattr(args, "seed", 0))
 
