@@ -142,8 +142,31 @@ class CropSampler:
         s = self.raw_size
         half = s // 2
         out = np.empty((len(img_idx), s, s), dtype=np.float32)
-        for i, (k, y, x) in enumerate(zip(img_idx, ys, xs)):
-            out[i] = self.images[k].crop(int(y) - half, int(x) - half, s, s)
+
+        # native batched gather per image (topaz_tpu/native); numpy fallback
+        from topaz_tpu.native import gather_crops as native_gather
+
+        order = np.argsort(img_idx, kind="stable")
+        done = np.zeros(len(img_idx), dtype=bool)
+        pos = 0
+        while pos < len(order):
+            k = img_idx[order[pos]]
+            end = pos
+            while end < len(order) and img_idx[order[end]] == k:
+                end += 1
+            sel = order[pos:end]
+            crops = native_gather(
+                np.asarray(self.images[k]._mm), ys[sel] - half, xs[sel] - half, s
+            )
+            if crops is not None:
+                out[sel] = crops
+                done[sel] = True
+            pos = end
+
+        for i in np.flatnonzero(~done):
+            out[i] = self.images[img_idx[i]].crop(
+                int(ys[i]) - half, int(xs[i]) - half, s, s
+            )
         return out
 
     def sample_batch(self, batch_size: int, n_pos: int) -> Tuple[np.ndarray, np.ndarray]:
