@@ -87,7 +87,7 @@ def _run_cli(args, cwd):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run(
         [sys.executable, "-m", "topaz_tpu"] + args,
-        capture_output=True, text=True, cwd=cwd, env=env, timeout=600,
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=1200,
     )
 
 

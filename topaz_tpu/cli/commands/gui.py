@@ -6,9 +6,13 @@ import sys
 name = "gui"
 help = "opens the topaz GUI in a web browser"
 
-# the VIA-based annotator GUI is a standalone HTML asset; point at a local
-# copy via TOPAZ_GUI_PATH if one is installed
-DEFAULT_GUI_PATH = os.environ.get("TOPAZ_GUI_PATH", "")
+# bundled fresh annotator (topaz_tpu/gui/topaz_tpu_gui.html); a different
+# GUI (e.g. the reference's VIA-based topaz.html) can be pointed at via
+# TOPAZ_GUI_PATH
+_PKG = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+DEFAULT_GUI_PATH = os.environ.get(
+    "TOPAZ_GUI_PATH", os.path.join(_PKG, "gui", "topaz_tpu_gui.html")
+)
 
 
 def add_arguments(parser=None):

@@ -87,7 +87,7 @@ def disk_max_pallas(x: jnp.ndarray, r: int, init, tile: int = 256,
         partial(_disk_max_kernel, r, tile, hy, hx),
         out_shape=jax.ShapeDtypeStruct((gh * tile, gw * tile), x.dtype),
         grid=(gh, gw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j)),
         scratch_shapes=[
             pltpu.VMEM((win_y, win_x), x.dtype),
