@@ -125,9 +125,13 @@ def sphere_max(x: jnp.ndarray, r: float, init=NEG) -> jnp.ndarray:
 
 
 def _greedy_rounds(score: jnp.ndarray, threshold: float, max_filter) -> jnp.ndarray:
-    """Run parallel-greedy NMS rounds; returns the accepted-peak mask."""
+    """Run parallel-greedy NMS rounds; returns the accepted-peak mask.
+    Supports (H, W) and batched (..., H, W) inputs (the filters act on the
+    last two axes only, so images never interact)."""
     shape = score.shape
-    lin = jnp.arange(score.size, dtype=jnp.int32).reshape(shape)
+    H, W = shape[-2:]
+    lin = jnp.arange(H * W, dtype=jnp.int32).reshape((1,) * (score.ndim - 2) + (H, W))
+    lin = jnp.broadcast_to(lin, shape)
 
     def cond(state):
         active, _ = state
@@ -240,6 +244,27 @@ def nms_topk_2d(score: jnp.ndarray, r: int, threshold: float, k: int):
     xs = jnp.where(valid, idx % W, -1)
     ys = jnp.where(valid, idx // W, -1)
     return vals, jnp.stack([xs, ys], axis=1), jnp.sum(mask)
+
+
+@partial(jax.jit, static_argnames=("r", "threshold", "k"))
+def nms_topk_batched(scores: jnp.ndarray, r: int, threshold: float, k: int):
+    """Batched fully on-device NMS: scores (B, H, W) ->
+    (vals (B, k), coords (B, k, 2) as (x, y), counts (B,))."""
+    if _on_tpu():
+        from topaz_tpu.ops.nms_pallas import disk_max_pallas
+
+        filt = lambda x, init: disk_max_pallas(x, r, init)
+    else:
+        filt = lambda x, init: disk_max(x, r, init)
+    mask = _greedy_rounds(scores, threshold, filt)
+    B = scores.shape[0]
+    W = scores.shape[-1]
+    flat = jnp.where(mask, scores, NEG).reshape(B, -1)
+    vals, idx = lax.top_k(flat, k)
+    valid = vals > NEG
+    xs = jnp.where(valid, idx % W, -1)
+    ys = jnp.where(valid, idx // W, -1)
+    return vals, jnp.stack([xs, ys], axis=-1), jnp.sum(mask, axis=(-2, -1))
 
 
 def exact_non_maximum_suppression(x, r: int, threshold: float = -np.inf,

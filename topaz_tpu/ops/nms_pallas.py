@@ -35,12 +35,20 @@ def _round_up(x: int, m: int) -> int:
 
 def _disk_max_kernel(r: int, tile: int, hy: int, hx: int, x_hbm, out_ref,
                      scratch, sem):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    batched = len(x_hbm.shape) == 3
+    if batched:
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        src = x_hbm.at[b]
+    else:
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        src = x_hbm
     win_y = tile + 2 * hy
     win_x = tile + 2 * hx
     dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tile, win_y), pl.ds(j * tile, win_x)], scratch, sem
+        src.at[pl.ds(i * tile, win_y), pl.ds(j * tile, win_x)], scratch, sem
     )
     dma.start()
     dma.wait()
@@ -65,34 +73,48 @@ def _disk_max_kernel(r: int, tile: int, hy: int, hx: int, x_hbm, out_ref,
         for dy in dys:
             part = h[hy + dy : hy + dy + tile, hx : hx + tile]
             acc = part if acc is None else jnp.maximum(acc, part)
-    out_ref[:] = acc
+    if len(out_ref.shape) == 3:
+        out_ref[0] = acc
+    else:
+        out_ref[:] = acc
 
 
 @partial(jax.jit, static_argnames=("r", "tile", "interpret"))
 def disk_max_pallas(x: jnp.ndarray, r: int, init, tile: int = 256,
                     interpret: bool = False) -> jnp.ndarray:
     """Disk max-filter over the clipped integer disk of radius r; matches
-    ops/nms.disk_max for 2D inputs."""
-    H, W = x.shape
+    ops/nms.disk_max for 2D (H, W) or batched (B, H, W) inputs."""
+    batched = x.ndim == 3
+    H, W = x.shape[-2:]
     hy = _round_up(r, 8)
     hx = _round_up(r, 128)
     gh = -(-H // tile)
     gw = -(-W // tile)
-    xp = jnp.pad(x, ((hy, hy + gh * tile - H), (hx, hx + gw * tile - W)),
-                 constant_values=init)
+    pad = ((hy, hy + gh * tile - H), (hx, hx + gw * tile - W))
+    if batched:
+        B = x.shape[0]
+        xp = jnp.pad(x, ((0, 0),) + pad, constant_values=init)
+        grid = (B, gh, gw)
+        out_spec = pl.BlockSpec((1, tile, tile), lambda b, i, j: (b, i, j))
+        out_shape = jax.ShapeDtypeStruct((B, gh * tile, gw * tile), x.dtype)
+    else:
+        xp = jnp.pad(x, pad, constant_values=init)
+        grid = (gh, gw)
+        out_spec = pl.BlockSpec((tile, tile), lambda i, j: (i, j))
+        out_shape = jax.ShapeDtypeStruct((gh * tile, gw * tile), x.dtype)
 
     win_y = tile + 2 * hy
     win_x = tile + 2 * hx
     out = pl.pallas_call(
         partial(_disk_max_kernel, r, tile, hy, hx),
-        out_shape=jax.ShapeDtypeStruct((gh * tile, gw * tile), x.dtype),
-        grid=(gh, gw),
+        out_shape=out_shape,
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j)),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((win_y, win_x), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp)
-    return out[:H, :W]
+    return out[..., :H, :W]
