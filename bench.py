@@ -70,7 +70,22 @@ def build_pipeline():
     return extract, denoise
 
 
+def _wait_for_device(retries: int = 5, delay: float = 10.0):
+    """The TPU grant is exclusive; a recently killed process can hold it for
+    a few seconds. Retry the claim instead of failing the bench."""
+    for attempt in range(retries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if attempt == retries - 1:
+                raise
+            print(f"# bench: device claim failed ({e}); retrying...",
+                  file=sys.stderr, flush=True)
+            time.sleep(delay)
+
+
 def main():
+    _wait_for_device()
     rng = np.random.default_rng(0)
     raw_np = rng.normal(0, 1, (4096, 4096)).astype(np.float32)
     raw = jnp.asarray(raw_np)

@@ -50,7 +50,9 @@ def test_sampler_uses_native(tmp_path, rng):
     targets = pd.read_csv(targets_path, sep="\t")
     paths = sorted(glob.glob(os.path.join(img_dir, "*.mrc")))
 
-    s1 = CropSampler(paths, targets, crop_size=71, radius=3, seed=7)
+    # raw (rotate=False) path: native and numpy fallback are bit-identical
+    s1 = CropSampler(paths, targets, crop_size=71, radius=3, seed=7,
+                     rotate=False)
     crops1, labels1 = s1.sample_batch(12, 3)
 
     import topaz_tpu.native as native
@@ -58,10 +60,46 @@ def test_sampler_uses_native(tmp_path, rng):
     orig = native.gather_crops
     native.gather_crops = lambda *a, **k: None  # force numpy fallback
     try:
-        s2 = CropSampler(paths, targets, crop_size=71, radius=3, seed=7)
+        s2 = CropSampler(paths, targets, crop_size=71, radius=3, seed=7,
+                         rotate=False)
         crops2, labels2 = s2.sample_batch(12, 3)
     finally:
         native.gather_crops = orig
 
     np.testing.assert_array_equal(labels1, labels2)
     np.testing.assert_array_equal(crops1, crops2)
+
+
+def test_rotated_gather_matches_fallback(tmp_path, rng):
+    """Fused rotate+flip+crop: native C vs numpy fallback agree on nearly
+    every pixel (rounding at exact half-pixel boundaries may differ by one
+    source pixel in rare knife-edge cases)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from test_training import _make_synthetic_dataset
+    from topaz_tpu.train.data import CropSampler
+    import topaz_tpu.native as native
+
+    if native.get_lib() is None:
+        pytest.skip("no C compiler available")
+
+    img_dir, targets_path = _make_synthetic_dataset(tmp_path, rng)
+    targets = pd.read_csv(targets_path, sep="\t")
+    paths = sorted(glob.glob(os.path.join(img_dir, "*.mrc")))
+
+    s1 = CropSampler(paths, targets, crop_size=71, radius=3, seed=11)
+    crops1, _ = s1.sample_batch(8, 2)
+
+    orig = native.gather_rotated_crops
+    native.gather_rotated_crops = lambda *a, **k: None
+    try:
+        s2 = CropSampler(paths, targets, crop_size=71, radius=3, seed=11)
+        crops2, _ = s2.sample_batch(8, 2)
+    finally:
+        native.gather_rotated_crops = orig
+
+    mismatch = np.mean(crops1 != crops2)
+    assert mismatch < 1e-3, f"{mismatch:.2e} of pixels differ"

@@ -122,9 +122,29 @@ def test_crop_sampler(tmp_path, rng):
     sampler = CropSampler(paths, targets, crop_size=71, radius=3, split="pn")
     assert sampler.mask_size == 29  # pixels within radius 3
     crops, labels = sampler.sample_batch(16, 4)
-    assert crops.shape == (16, 101, 101)
+    # 2D path returns final augmented crops (fused rotate+flip+crop)
+    assert crops.shape == (16, 71, 71)
     assert labels[:4].sum() == 4 and labels[4:].sum() == 0
     assert np.isfinite(crops).all()
+
+    # rotation preserves the center pixel: positives' centers must equal the
+    # image value at their sampled coordinate
+    sampler2 = CropSampler(paths, targets, crop_size=71, radius=0, split="pn",
+                           seed=3)
+    crops2, _ = sampler2.sample_batch(8, 8)
+    from topaz_tpu.io import mrc
+
+    imgs = {i: mrc.read(p)[0] for i, p in enumerate(paths)}
+    centers = crops2[:, 35, 35]
+    all_pixels = np.concatenate([im.ravel() for im in imgs.values()])
+    for v in centers:
+        assert np.isclose(all_pixels, v).any()
+
+    # non-augmented (rotate=False) path returns raw windows
+    sampler3 = CropSampler(paths, targets, crop_size=71, radius=3,
+                           split="pn", rotate=False)
+    crops3, _ = sampler3.sample_batch(4, 1)
+    assert crops3.shape == (4, 71, 71)
 
 
 def test_end_to_end_training(tmp_path, rng, capsys):

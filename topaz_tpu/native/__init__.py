@@ -59,8 +59,49 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
     ]
     lib.gather_crops.restype = None
+    lib.gather_rotated_crops.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.gather_rotated_crops.restype = None
     _lib = lib
     return _lib
+
+
+def gather_rotated_crops(image: np.ndarray, cys: np.ndarray, cxs: np.ndarray,
+                         angles: np.ndarray, hflip: np.ndarray,
+                         vflip: np.ndarray, size: int) -> Optional[np.ndarray]:
+    """Fused rotate+flip+crop sampling of (size x size) windows centered at
+    (cys, cxs); angles in radians (counter-clockwise), nearest neighbor,
+    zero fill. Returns None if the native path is unavailable."""
+    lib = get_lib()
+    dtype_code = _DTYPE_CODES.get(image.dtype)
+    if lib is None or dtype_code is None or image.ndim != 2:
+        return None
+    if not image.flags["C_CONTIGUOUS"]:
+        return None
+    n = len(cys)
+    out = np.empty((n, size, size), dtype=np.float32)
+    cys = np.ascontiguousarray(cys, dtype=np.int64)
+    cxs = np.ascontiguousarray(cxs, dtype=np.int64)
+    angles = np.ascontiguousarray(angles, dtype=np.float64)
+    hflip = np.ascontiguousarray(hflip, dtype=np.uint8)
+    vflip = np.ascontiguousarray(vflip, dtype=np.uint8)
+    lib.gather_rotated_crops(
+        image.ctypes.data_as(ctypes.c_void_p), dtype_code,
+        image.shape[0], image.shape[1],
+        cys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cxs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        angles.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        hflip.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        vflip.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
 
 
 def gather_crops(image: np.ndarray, ys: np.ndarray, xs: np.ndarray,

@@ -58,6 +58,47 @@ void gather_crops(const void *img, int dtype, int64_t H, int64_t W,
     }
 }
 
+/* Fused augmented gather: for each crop, sample a (size x size) window
+ * centered at (cys[i], cxs[i]) rotated by angles[i] radians
+ * (counter-clockwise, nearest neighbor) with optional horizontal/vertical
+ * output flips; out-of-image sources are zero. Replaces the reference's
+ * oversized-crop -> torchvision-rotate -> center-crop -> flip chain
+ * (memory_mapped_data.py:216-231) with one pass at load time, keeping
+ * per-pixel gathers off the accelerator. */
+void gather_rotated_crops(const void *img, int dtype, int64_t H, int64_t W,
+                          const int64_t *cys, const int64_t *cxs,
+                          const double *angles, const uint8_t *hflip,
+                          const uint8_t *vflip, int64_t n, int64_t size,
+                          f32 *out) {
+    double half = (double)(size - 1) / 2.0;
+    for (int64_t i = 0; i < n; i++) {
+        f32 *dst = out + i * size * size;
+        double cy = (double)cys[i];
+        double cx = (double)cxs[i];
+        /* output = flip(rotate(input)); source coord = R(-theta) * F(out) */
+        double c = __builtin_cos(angles[i]);
+        double s = __builtin_sin(angles[i]);
+        int hf = hflip[i], vf = vflip[i];
+        for (int64_t r = 0; r < size; r++) {
+            double v0 = (double)r - half;
+            double v = vf ? -v0 : v0;
+            for (int64_t col = 0; col < size; col++) {
+                double u0 = (double)col - half;
+                double u = hf ? -u0 : u0;
+                /* inverse rotation (image rotated CCW by theta) */
+                double sy = c * v + s * u + cy;
+                double sx = -s * v + c * u + cx;
+                int64_t iy = (int64_t)(sy + (sy >= 0 ? 0.5 : -0.5));
+                int64_t ix = (int64_t)(sx + (sx >= 0 ? 0.5 : -0.5));
+                dst[r * size + col] =
+                    (iy >= 0 && iy < H && ix >= 0 && ix < W)
+                        ? load_px(img, dtype, iy * W + ix)
+                        : 0.0f;
+            }
+        }
+    }
+}
+
 /* Multi-image variant: img_ptrs[i] indexes per-crop source images. */
 void gather_crops_multi(const void *const *img_ptrs, const int *dtypes,
                         const int64_t *Hs, const int64_t *Ws,

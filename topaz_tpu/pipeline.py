@@ -155,13 +155,16 @@ class MicrographPipeline:
         thread = threading.Thread(target=load_batches, args=(q,), daemon=True)
         thread.start()
 
+        from topaz_tpu.utils.profiling import stage
+
         while True:
             item = q.get()
             if item is None:
                 break
             shape, chunk, n_real, arr = item
             fn = self._fn_for(shape, len(arr))
-            out = fn(jnp.asarray(arr))
+            with stage(f"pipeline/batch{shape}"):
+                out = fn(jnp.asarray(arr))
             scores = np.asarray(out[0])
             coords = np.asarray(out[1])
             counts = np.asarray(out[2])

@@ -96,6 +96,7 @@ class CropSampler:
         if size % 2 == 0:
             size += 1
         self.raw_size = size
+        self.augment = rotate and dims == 2
         self.split = split
         self.dims = dims
         self.rng = np.random.default_rng(seed)
@@ -169,8 +170,59 @@ class CropSampler:
             )
         return out
 
+    def _augmented_crops(self, img_idx, ys, xs) -> np.ndarray:
+        """Fused rotate+flip+crop at the final crop size (2D training path).
+
+        Native C fast path; numpy fallback applies the identical transform.
+        Equivalent to the reference's oversized-crop -> rotate -> center-crop
+        -> flip chain (memory_mapped_data.py:216-231) except that output
+        pixels whose rotated source falls inside the image read the true
+        pixel instead of the oversized crop's zero fill (a strict-superset
+        of information at the corners)."""
+        from topaz_tpu.native import gather_rotated_crops as native_rot
+
+        B = len(img_idx)
+        size = self.crop_size
+        angles = self.rng.uniform(0, 2 * np.pi, B)
+        hflip = self.rng.random(B) < 0.5
+        vflip = self.rng.random(B) < 0.5
+        out = np.empty((B, size, size), dtype=np.float32)
+        half = (size - 1) / 2.0
+
+        order = np.argsort(img_idx, kind="stable")
+        pos = 0
+        while pos < len(order):
+            k = img_idx[order[pos]]
+            end = pos
+            while end < len(order) and img_idx[order[end]] == k:
+                end += 1
+            sel = order[pos:end]
+            img = np.asarray(self.images[k]._mm)
+            crops = native_rot(img, ys[sel], xs[sel], angles[sel],
+                               hflip[sel], vflip[sel], size)
+            if crops is None:
+                # numpy fallback: same transform, vectorized per crop
+                H, W = img.shape
+                vv, uu = np.mgrid[0:size, 0:size].astype(np.float64) - half
+                crops = np.empty((len(sel), size, size), dtype=np.float32)
+                for j, i in enumerate(sel):
+                    v = -vv if vflip[i] else vv
+                    u = -uu if hflip[i] else uu
+                    c, s = np.cos(angles[i]), np.sin(angles[i])
+                    sy = np.rint(c * v + s * u + ys[i]).astype(np.int64)
+                    sx = np.rint(-s * v + c * u + xs[i]).astype(np.int64)
+                    valid = (sy >= 0) & (sy < H) & (sx >= 0) & (sx < W)
+                    crops[j] = np.where(
+                        valid, img[np.clip(sy, 0, H - 1), np.clip(sx, 0, W - 1)], 0
+                    )
+            out[sel] = crops
+            pos = end
+        return out
+
     def sample_batch(self, batch_size: int, n_pos: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Return (raw crops (B, S, S), labels (B,)) — first n_pos positive."""
+        """Return (crops, labels (B,)) — first n_pos positive. For the 2D
+        augmented path crops come back rotated/flipped at the final crop
+        size; otherwise raw (B, raw_size, raw_size) windows."""
         n_neg = batch_size - n_pos
         # positives: uniform over expanded positive pixels
         if n_pos > 0:
@@ -197,7 +249,10 @@ class CropSampler:
         img_idx = np.concatenate([p_img, n_img])
         ys = np.concatenate([p_y, n_y])
         xs = np.concatenate([p_x, n_x])
-        crops = self._gather_crops(img_idx, ys, xs)
+        if self.augment:
+            crops = self._augmented_crops(img_idx, ys, xs)
+        else:
+            crops = self._gather_crops(img_idx, ys, xs)
         labels = np.zeros(batch_size, dtype=np.float32)
         labels[:n_pos] = 1.0
         return crops, labels

@@ -77,7 +77,11 @@ def make_train_step(
 
     def loss_and_metrics(params, model_state, crops, rng, method_state):
         k_aug, k_drop = jax.random.split(rng)
-        x = augment_crops(crops, k_aug, crop, rotate=rotate, flip=rotate)
+        if crops.shape[1] == crop:
+            # sampler delivered final augmented crops (fused native path)
+            x = crops
+        else:
+            x = augment_crops(crops, k_aug, crop, rotate=rotate, flip=rotate)
         score, latent, new_model_state = apply_picker(
             spec, params, x, state=model_state, dense=False, train=True,
             dropout_rng=k_drop, precision=precision, return_latent=True,
