@@ -74,9 +74,31 @@ def generate_description(module_groups, linewidth=78, indent="  ", delim="  "):
     return "\n".join(lines)
 
 
+def _setup_compilation_cache() -> None:
+    """Persist compiled programs across CLI invocations (first compiles on
+    this class of backend can take minutes)."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import topaz_tpu
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(topaz_tpu.__file__))), ".jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main() -> None:
     import topaz_tpu
 
+    _setup_compilation_cache()
     parser = argparse.ArgumentParser(
         prog="topaz",
         formatter_class=argparse.RawDescriptionHelpFormatter,

@@ -269,20 +269,43 @@ def train_model(args, output=None):
     state = init_train_state(spec, params, model_state, optimizer, pi_adj,
                              seed=getattr(args, "seed", 0))
 
-    # epoch loop with the reference's TSV contract (training.py:571-603)
+    # epoch loop with the reference's TSV contract (training.py:571-603).
+    # Host sampling runs in a prefetch thread and metric rows print one step
+    # behind dispatch, so the device never idles on the host.
+    import queue
+    import threading
+
     print("\t".join(["epoch", "iter", "split"] + header + ["auprc"]),
           file=output, flush=True)
     it = 1
     prec_idx = header.index("precision")
+    plain_cols = [h for h in header if h != "adjusted_precision"]
+
+    def _print_row(epoch, it, metrics):
+        row = [float(metrics[h]) for h in plain_cols]
+        row.insert(prec_idx + 1, row[prec_idx] / est_max_prec)
+        print(f"{epoch}\t{it}\ttrain\t" + "\t".join(str(v) for v in row)
+              + "\t-", file=output, flush=True)
+
     for epoch in range(1, args.num_epochs + 1):
-        for _ in range(args.epoch_size):
-            crops, _labels = sampler.sample_batch(args.minibatch_size, n_pos)
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def _producer(n=args.epoch_size):
+            for _ in range(n):
+                q.put(sampler.sample_batch(args.minibatch_size, n_pos))
+            q.put(None)
+
+        threading.Thread(target=_producer, daemon=True).start()
+        pending = None  # (epoch, it, device metrics) printed one step late
+        while (item := q.get()) is not None:
+            crops, _labels = item
             state, metrics = step_fn(state, crops)
-            row = [float(metrics[h]) for h in header if h != "adjusted_precision"]
-            row.insert(prec_idx + 1, row[prec_idx] / est_max_prec)
-            print(f"{epoch}\t{it}\ttrain\t" + "\t".join(str(v) for v in row)
-                  + "\t-", file=output, flush=True)
+            if pending is not None:
+                _print_row(*pending)
+            pending = (epoch, it, metrics)
             it += 1
+        if pending is not None:
+            _print_row(*pending)
 
         if test_paths:
             loss, prec, tpr, fpr, auprc = evaluate_model(
