@@ -122,6 +122,8 @@ class CropSampler:
         img_idx = expanded["image_name"].map(name_to_idx).values.astype(np.int64)
         xs = np.round(expanded["x_coord"].values).astype(np.int64)
         ys = np.round(expanded["y_coord"].values).astype(np.int64)
+        zs = (np.round(expanded["z_coord"].values).astype(np.int64)
+              if dims == 3 else np.zeros(len(expanded), dtype=np.int64))
 
         # drop out-of-bounds expanded pixels (memory_mapped_data.py:102-114)
         shapes = np.array([im.shape[-2:] for im in self.images])
@@ -129,15 +131,41 @@ class CropSampler:
             (xs >= 0) & (ys >= 0)
             & (xs < shapes[img_idx, 1]) & (ys < shapes[img_idx, 0])
         )
+        if dims == 3:
+            depths = np.array([im.shape[0] for im in self.images])
+            in_bounds &= (zs >= 0) & (zs < depths[img_idx])
         self.pos_img = img_idx[in_bounds]
         self.pos_x = xs[in_bounds]
         self.pos_y = ys[in_bounds]
+        self.pos_z = zs[in_bounds]
         self.num_pixels = len(self.pos_img)
         self.num_images = len(self.images)
 
         # packed-int positive-pixel set for negative rejection sampling
-        packed = (self.pos_img << 48) | (self.pos_y << 24) | self.pos_x
+        packed = ((self.pos_img << 48) | (self.pos_z << 34)
+                  | (self.pos_y << 17) | self.pos_x)
         self.positive_set = set(packed.tolist()) if split == "pn" else None
+
+    @staticmethod
+    def _pack(k, z, y, x):
+        return (int(k) << 48) | (int(z) << 34) | (int(y) << 17) | int(x)
+
+    def _gather_crops_3d(self, img_idx, zs, ys, xs) -> np.ndarray:
+        """Zero-padded 3D windows centered at (z, y, x)
+        (memory_mapped_data.py:52-60)."""
+        s = self.raw_size
+        half = s // 2
+        out = np.zeros((len(img_idx), s, s, s), dtype=np.float32)
+        for i, (k, z, y, x) in enumerate(zip(img_idx, zs, ys, xs)):
+            vol = self.images[k]._mm
+            D, H, W = vol.shape
+            z0, y0, x0 = int(z) - half, int(y) - half, int(x) - half
+            rz = slice(max(0, z0), min(D, z0 + s))
+            ry = slice(max(0, y0), min(H, y0 + s))
+            rx = slice(max(0, x0), min(W, x0 + s))
+            out[i, rz.start - z0 : rz.stop - z0, ry.start - y0 : ry.stop - y0,
+                rx.start - x0 : rx.stop - x0] = vol[rz, ry, rx]
+        return out
 
     def _gather_crops(self, img_idx, ys, xs) -> np.ndarray:
         s = self.raw_size
@@ -228,28 +256,36 @@ class CropSampler:
         if n_pos > 0:
             sel = self.rng.integers(0, self.num_pixels, size=n_pos)
             p_img, p_y, p_x = self.pos_img[sel], self.pos_y[sel], self.pos_x[sel]
+            p_z = self.pos_z[sel]
         else:
-            p_img = p_y = p_x = np.zeros(0, dtype=np.int64)
+            p_img = p_y = p_x = p_z = np.zeros(0, dtype=np.int64)
 
         # unlabeled / negative: random image, random pixel (rejecting exact
         # positives for the pn split)
         n_img = self.rng.integers(0, self.num_images, size=n_neg)
         n_y = np.empty(n_neg, dtype=np.int64)
         n_x = np.empty(n_neg, dtype=np.int64)
+        n_z = np.zeros(n_neg, dtype=np.int64)
         for i, k in enumerate(n_img):
             H, W = self.images[k].shape[-2:]
+            D = self.images[k].shape[0] if self.dims == 3 else 1
             while True:
                 y = self.rng.integers(0, H)
                 x = self.rng.integers(0, W)
+                z = self.rng.integers(0, D) if self.dims == 3 else 0
                 if self.positive_set is None or \
-                        ((int(k) << 48) | (int(y) << 24) | int(x)) not in self.positive_set:
+                        self._pack(k, z, y, x) not in self.positive_set:
                     break
             n_y[i], n_x[i] = y, x
+            n_z[i] = z
 
         img_idx = np.concatenate([p_img, n_img])
         ys = np.concatenate([p_y, n_y])
         xs = np.concatenate([p_x, n_x])
-        if self.augment:
+        if self.dims == 3:
+            zs = np.concatenate([p_z, n_z])
+            crops = self._gather_crops_3d(img_idx, zs, ys, xs)
+        elif self.augment:
             crops = self._augmented_crops(img_idx, ys, xs)
         else:
             crops = self._gather_crops(img_idx, ys, xs)
