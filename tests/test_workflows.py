@@ -100,3 +100,34 @@ def test_segment_writes_tiff(tmp_path, rng):
     score = np.array(Image.open(outdir / "img.tiff"))
     assert score.shape == (96, 96)
     assert np.isfinite(score).all()
+
+
+def test_batched_extract_matches_single(tmp_path, rng):
+    """extract --batch-size > 1 routes through the device pipeline and
+    produces the same picks as the one-at-a-time path."""
+    from topaz_tpu.extract import extract_particles
+    from topaz_tpu.io import mrc
+
+    paths = []
+    for i in range(3):
+        x = rng.normal(0, 1, (128, 128)).astype(np.float32)
+        yy, xx = np.mgrid[0:128, 0:128]
+        for _ in range(3):
+            cy, cx = rng.integers(20, 108, 2)
+            x -= 3 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 3.0**2)).astype(np.float32)
+        p = str(tmp_path / f"m{i}.mrc")
+        mrc.write(p, x)
+        paths.append(p)
+
+    out1 = str(tmp_path / "picks1.txt")
+    extract_particles(paths, "resnet8_u32", threshold=1.0, radius=6,
+                      output=out1, batch_size=1)
+    out2 = str(tmp_path / "picks2.txt")
+    extract_particles(paths, "resnet8_u32", threshold=1.0, radius=6,
+                      output=out2, batch_size=2)
+    cols = ["image_name", "x_coord", "y_coord"]
+    a = pd.read_csv(out1, sep="\t").sort_values(cols).reset_index(drop=True)
+    b = pd.read_csv(out2, sep="\t").sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert (a[cols] == b[cols]).all().all()
+    np.testing.assert_allclose(a.score.values, b.score.values, rtol=1e-4)

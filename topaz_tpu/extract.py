@@ -192,6 +192,20 @@ def extract_particles(
 
     radius = radius if radius is not None else -1
 
+    # batched fast path: same-shape scoring sharded/batched on device
+    # (reference scores strictly one image at a time, extract.py:224-256)
+    use_batched = (
+        batch_size > 1 and model not in (None, "none") and dims == 2
+        and targets is None and not patch_size and radius >= 0
+        and not only_validate
+    )
+    if use_batched:
+        return _extract_batched(
+            paths, model, threshold, radius, batch_size, output,
+            per_micrograph, suffix, out_format, up_scale, down_scale,
+            verbose, precision,
+        )
+
     if targets is not None:
         scores = {k: v for k, v in stream}
         stream = scores.items()
@@ -265,6 +279,53 @@ def extract_particles(
                 z_coord = f"\t{coords[i, 2]}" if dims == 3 else ""
                 print(f"{name}\t{coords[i, 0]}\t{coords[i, 1]}{z_coord}\t{s[i]}",
                       file=f)
+
+    if f is not None and f is not sys.stdout:
+        f.close()
+    report("Extraction complete")
+
+
+def _extract_batched(paths, model, threshold, radius, batch_size, output,
+                     per_micrograph, suffix, out_format, up_scale,
+                     down_scale, verbose, precision):
+    """Batched extraction through the device pipeline (pipeline.py)."""
+    from topaz_tpu.io import coordinates as file_utils
+    from topaz_tpu.pipeline import MicrographPipeline
+
+    pipe = MicrographPipeline(model=model, scale=1, radius=radius,
+                              threshold=threshold, normalize=False,
+                              precision=precision)
+    scale = up_scale / down_scale
+
+    f = None
+    output_dir = None
+    if not per_micrograph:
+        if output is not None and os.path.isdir(output):
+            output = os.path.join(output, "extracted_particles.txt")
+        f = sys.stdout if output is None else open(output, "w")
+        print("image_name\tx_coord\ty_coord\tscore", file=f)
+    elif output is not None and not os.path.isdir(output):
+        os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
+        output_dir = os.path.join(os.path.dirname(output), "COORDS")
+        os.makedirs(output_dir, exist_ok=True)
+    else:
+        output_dir = output
+
+    for path, s, coords in pipe.process(paths, batch_size=batch_size):
+        name, ext = os.path.splitext(os.path.basename(path))
+        if verbose:
+            report(f"Extracted {len(s)} particles from {name}")
+        if scale != 1:
+            coords = np.round(coords * scale).astype(int)
+        if per_micrograph:
+            table = pd.DataFrame({"image_name": name, "x_coord": coords[:, 0],
+                                  "y_coord": coords[:, 1], "score": s})
+            out_path = os.path.join(output_dir, name + suffix + "." + out_format)
+            with open(out_path, "w") as pf:
+                file_utils.write_table(pf, table, format=out_format, image_ext=ext)
+        else:
+            for i in range(len(s)):
+                print(f"{name}\t{coords[i, 0]}\t{coords[i, 1]}\t{s[i]}", file=f)
 
     if f is not None and f is not sys.stdout:
         f.close()

@@ -32,6 +32,7 @@ class MicrographPipeline:
         radius: int = 14,
         threshold: float = -6.0,
         max_peaks: int = 2048,
+        normalize: bool = True,
         mesh=None,
         precision=None,
     ):
@@ -40,6 +41,7 @@ class MicrographPipeline:
         from topaz_tpu.models.factory import load_picker
 
         self.scale = scale
+        self.normalize = normalize
         self.radius = radius
         self.threshold = threshold
         self.max_peaks = max_peaks
@@ -73,11 +75,17 @@ class MicrographPipeline:
         denoiser = self.denoiser
         dparams = getattr(self, "dparams", None)
 
+        normalize = self.normalize
+
         def fn(raws):  # (B, H, W) — batch-native throughout
             smalls = downsample(raws, scale) if scale > 1 else raws
-            B = smalls.shape[0]
-            mu, std, *_ = jax.vmap(norm_fit)(smalls.reshape(B, -1))
-            norms = (smalls - mu[:, None, None]) / std[:, None, None]
+            if normalize:
+                B = smalls.shape[0]
+                mu, std, *_ = jax.vmap(norm_fit)(smalls.reshape(B, -1))
+                norms = (smalls - mu[:, None, None]) / std[:, None, None]
+            else:
+                # extract-style inputs are already normalized
+                norms = smalls
             scores, _ = apply_picker(spec, params, norms, state=state,
                                      dense=True, precision=precision)
             vals, coords, counts = nms_topk_batched(scores, r, t, k)
