@@ -84,3 +84,56 @@ def test_dp_train_step(rng):
     assert np.isfinite(float(metrics["loss"]))
     leaf_new = jax.tree_util.tree_leaves(new_state.params)[0]
     assert np.isfinite(np.asarray(leaf_new)).all()
+
+
+def test_halo_denoiser_fcnn_exact(rng):
+    """Pool-free fcnn: halo-sharded denoising == whole-image denoising."""
+    import jax.numpy as jnp
+
+    from topaz_tpu.models.denoise_factory import apply_fn_for, load_denoiser
+    from topaz_tpu.parallel.mesh import make_halo_denoiser, make_mesh
+
+    meta, params = load_denoiser("fcnn")
+    mesh = make_mesh(n_data=1, n_space=8)
+    H, W = 8 * 32, 128
+    image = rng.normal(2.0, 3.0, (H, W)).astype(np.float32)
+
+    denoise = make_halo_denoiser(meta, params, mesh, halo=16)
+    sharded = np.asarray(denoise(jnp.asarray(image)))
+
+    apply_fn = apply_fn_for(meta)
+    mu, std = image.mean(), image.std()
+    xn = (image - mu) / std
+    whole = np.asarray(apply_fn(params, jnp.asarray(xn)[None, :, :, None],
+                                dims=2))[0, :, :, 0] * std + mu
+    # exact everywhere except within the deep-layer receptive field of the
+    # true image top/bottom edges (apron pixel-padding vs per-layer padding)
+    np.testing.assert_allclose(sharded[16:-16], whole[16:-16], rtol=1e-4,
+                               atol=1e-4)
+    assert np.corrcoef(sharded.ravel(), whole.ravel())[0, 1] > 0.99
+
+
+def test_halo_denoiser_unet_approx(rng):
+    """Pooling U-Net: halo-sharded result approximates whole-image output
+    (boundary-band deviations, like the reference's own patch mode)."""
+    import jax.numpy as jnp
+
+    from topaz_tpu.models.denoise_factory import apply_fn_for, load_denoiser
+    from topaz_tpu.parallel.mesh import make_halo_denoiser, make_mesh
+
+    meta, params = load_denoiser("unet-small")
+    mesh = make_mesh(n_data=1, n_space=4)
+    H, W = 4 * 64, 128
+    image = rng.normal(0.0, 1.0, (H, W)).astype(np.float32)
+
+    denoise = make_halo_denoiser(meta, params, mesh, halo=32)
+    sharded = np.asarray(denoise(jnp.asarray(image)))
+
+    apply_fn = apply_fn_for(meta)
+    mu, std = image.mean(), image.std()
+    xn = (image - mu) / std
+    whole = np.asarray(apply_fn(params, jnp.asarray(xn)[None, :, :, None],
+                                dims=2))[0, :, :, 0] * std + mu
+    assert sharded.shape == whole.shape
+    corr = np.corrcoef(sharded.ravel(), whole.ravel())[0, 1]
+    assert corr > 0.99, corr

@@ -119,6 +119,68 @@ def make_halo_dense_scorer(spec, params, state, mesh: Mesh, precision=None):
     return score
 
 
+def make_halo_denoiser(meta: Dict, params, mesh: Mesh, halo: int = 256,
+                       precision=None):
+    """Denoise ONE large micrograph with rows sharded over the mesh's
+    ``space`` axis.
+
+    Each shard receives a ``halo``-row apron from its neighbors (ppermute),
+    denoises block+apron, and keeps its own rows; the image mean/std used
+    for normalization is computed globally via psum so the result matches
+    whole-image semantics (topaz/denoise.py:274-296). For the pooling
+    U-Nets the result is approximate near shard boundaries exactly like the
+    reference's own patch mode (denoise.py:299-324); for pool-free models
+    (fcnn, affine) a halo >= the receptive field makes it exact.
+    """
+    from jax import shard_map
+
+    from topaz_tpu.models.denoise_factory import apply_fn_for
+
+    apply_fn = apply_fn_for(meta)
+    dims = meta.get("dims", 2)
+    if dims != 2:
+        raise NotImplementedError("halo denoiser currently supports 2D")
+    axis = "space"
+    n_shards = mesh.shape[axis]
+
+    def shard_fn(block):  # (H/n, W)
+        # global statistics over the whole image
+        stats = jax.lax.psum(
+            jnp.stack([jnp.sum(block), jnp.sum(block**2),
+                       jnp.asarray(block.size, block.dtype)]),
+            axis,
+        )
+        mu = stats[0] / stats[2]
+        std = jnp.sqrt(stats[1] / stats[2] - mu**2)
+
+        # normalize BEFORE building aprons so the zero fill at the true
+        # image edges matches the whole-image SAME-conv zero padding
+        bn = (block - mu) / std
+        top_halo = jax.lax.ppermute(
+            bn[-halo:], axis,
+            [(i, (i + 1) % n_shards) for i in range(n_shards)])
+        bottom_halo = jax.lax.ppermute(
+            bn[:halo], axis,
+            [(i, (i - 1) % n_shards) for i in range(n_shards)])
+        idx = jax.lax.axis_index(axis)
+        top_halo = jnp.where(idx > 0, top_halo, jnp.zeros_like(top_halo))
+        bottom_halo = jnp.where(idx < n_shards - 1, bottom_halo,
+                                jnp.zeros_like(bottom_halo))
+        xn = jnp.concatenate([top_halo, bn, bottom_halo], axis=0)
+        y = apply_fn(params, xn[None, :, :, None], dims=2,
+                     precision=precision)[0, :, :, 0]
+        return y[halo:-halo] * std + mu
+
+    sharded = shard_map(shard_fn, mesh=mesh, in_specs=P(axis, None),
+                        out_specs=P(axis, None))
+
+    @jax.jit
+    def denoise(image):
+        return sharded(image)
+
+    return denoise
+
+
 # ---------------------------------------------------------------------------
 # data-parallel training step (multi-chip config for dryrun/bench)
 # ---------------------------------------------------------------------------
