@@ -1,7 +1,6 @@
 """topaz train (topaz/commands/train.py) — 2D picker PU training."""
 
 import argparse
-import sys
 
 name = "train"
 help = "train 2D region classifier from images with labeled coordinates"

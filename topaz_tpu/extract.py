@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import sys
-from typing import Dict, Iterable, Iterator, List, Optional, TextIO, Tuple, Union
+from typing import Dict, Iterable, Iterator, List, Optional, TextIO, Tuple
 
 import numpy as np
 import pandas as pd

@@ -18,7 +18,6 @@ and explicit little-endian layout rather than native-endian structs.
 
 from __future__ import annotations
 
-import io as _io
 from dataclasses import dataclass
 from typing import BinaryIO, Optional, Tuple, Union
 

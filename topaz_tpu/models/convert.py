@@ -13,7 +13,7 @@ HWIO (DHWIO) channels-last for TPU-friendly convolutions.
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -23,8 +23,7 @@ CLI arch therefore has no working reference definition.
 
 from __future__ import annotations
 
-import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ files are converted to .npz on first use and cached in-package.
 from __future__ import annotations
 
 import os
-from typing import Dict, Tuple
+from typing import Dict
 
 from topaz_tpu.models.denoise import (
     APPLY_FNS,

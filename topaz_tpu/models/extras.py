@@ -12,12 +12,11 @@ convert directly (tests/test_extras.py checks forward parity).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from topaz_tpu.models.layers import conv_nd, max_pool_nd
 

@@ -19,7 +19,7 @@ Supports 2D and 3D. Parameters are nested dicts of jnp arrays with HWIO
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

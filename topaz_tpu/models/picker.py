@@ -14,7 +14,7 @@ One spec yields both the strided training form and the dense score-map form
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax

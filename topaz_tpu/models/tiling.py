@@ -15,8 +15,6 @@ bug we do not replicate.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
-
 import numpy as np
 
 

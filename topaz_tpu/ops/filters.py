@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from topaz_tpu.ops.fourier import gaussian_filter_kernel
 
 
 def gaussian_filter(sigma: float, s: int = 11, dims: int = 2) -> np.ndarray:

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 import sys
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import pandas as pd

@@ -15,7 +15,7 @@ pools (SURVEY 2.8). Here scale-out is one jax.sharding.Mesh with two axes:
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

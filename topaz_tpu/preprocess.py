@@ -18,7 +18,6 @@ import numpy as np
 from topaz_tpu.io.image import load_image, save_image
 from topaz_tpu.ops.fourier import downsample
 from topaz_tpu.ops.gmm import normalize
-from topaz_tpu.utils.printing import report
 
 
 def pixels_given_radius(radius: int, dims: int = 2) -> int:

@@ -24,7 +24,7 @@ from __future__ import annotations
 import glob
 import math
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import pandas as pd

@@ -11,7 +11,7 @@ from __future__ import annotations
 import glob
 import os
 import sys
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

@@ -10,12 +10,10 @@ DataParallel or process pools.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from topaz_tpu.models.picker import PickerSpec, apply_picker

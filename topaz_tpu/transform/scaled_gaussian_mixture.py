@@ -9,7 +9,7 @@ API completeness.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

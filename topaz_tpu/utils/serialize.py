@@ -8,7 +8,6 @@ torch-free, framework-version-independent format.
 
 from __future__ import annotations
 
-import io
 import json
 from typing import Dict, Tuple
 
