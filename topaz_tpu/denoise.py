@@ -259,10 +259,7 @@ def train_denoiser(meta, params, train_sampler, val_sampler, loss_fn: str = "L2"
             train_loss += b * (float(loss) - train_loss) / n
 
         n, val_loss = 0, 0.0
-        val_iter = (val_sampler.batches(batch_size, shuffle=False)
-                    if hasattr(val_sampler, "batches")
-                    else val_sampler.batches(batch_size, mode="test"))
-        for src, tgt in val_iter:
+        for src, tgt in val_sampler.batches(batch_size, shuffle=False):
             loss = float(eval_loss(params, jnp.asarray(src), jnp.asarray(tgt), gamma))
             b = src.shape[0]
             n += b

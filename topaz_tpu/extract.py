@@ -92,11 +92,11 @@ def _nms_for_dims(dims: int):
     )
 
 
-def iterate_score_target_pairs(scores: Dict[str, np.ndarray], targets: pd.DataFrame):
+def iterate_score_target_pairs(scores: Dict[str, np.ndarray], targets: pd.DataFrame,
+                               dims: int = 2):
+    cols = ["x_coord", "y_coord"] + (["z_coord"] if dims == 3 else [])
     for image_name, score in scores.items():
-        target = targets.loc[targets.image_name == image_name][
-            ["x_coord", "y_coord"]
-        ].values
+        target = targets.loc[targets.image_name == image_name][cols].values
         yield score, target
 
 
@@ -114,14 +114,16 @@ def extract_auprc(
     mse = 0.0
     hits = []
     preds = []
-    for score, target in iterate_score_target_pairs(scores, targets):
+    for score, target in iterate_score_target_pairs(scores, targets, dims=dims):
         if dims == 2:
             s, coords = non_maximum_suppression(score, radius, threshold=threshold)
         else:
+            # 3D validation crashes in the reference (2-column targets vs
+            # 3-column predictions, extract.py:107-128) — fixed here
             s, coords = non_maximum_suppression_3d(score, radius * 2,
                                                    threshold=threshold)
         r = radius if match_radius is None else match_radius
-        assignment, dist = match_coordinates(target, coords[:, :2] if dims == 2 else coords, r)
+        assignment, dist = match_coordinates(target, coords, r)
         mse += float(np.sum(dist[assignment == 1] ** 2))
         hits.append(assignment)
         preds.append(s)

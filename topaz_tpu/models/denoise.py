@@ -194,10 +194,7 @@ def arch_layout(arch: str, nf: int = 48, base_width: int = 11,
                 top_width: int = 3) -> Dict[str, Dict[str, Tuple[int, int, int]]]:
     """Conv shape layout {module: {idx: (kernel, cin, cout)}} per arch."""
     if arch in ("unet", "unet3"):
-        lay = _unet_layout(nf, base_width, top_width, levels=5)
-        if arch == "unet3":
-            lay["dec1"]["0"] = (top_width, 2 * nf + 1, 64)
-        return lay
+        return _unet_layout(nf, base_width, top_width, levels=5)
     if arch == "unet-small":
         return _unet_layout(nf, base_width, top_width, levels=3)
     if arch == "unet2":

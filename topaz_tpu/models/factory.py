@@ -107,15 +107,19 @@ def load_picker(name_or_path: str) -> Tuple[PickerSpec, Dict, Dict]:
 
 def save_picker(path: str, spec: PickerSpec, params: Dict, state: Dict,
                 extra_meta: Optional[Dict] = None) -> None:
-    # derive constructor kwargs from the spec's first conv
     meta = {"arch": spec.arch, "dims": spec.dims}
-    from topaz_tpu.models.layers import ConvSpec, ResidSpec
+    if spec.config is not None:
+        # full constructor kwargs (units/bn/dropout/pooling/unit_scaling/...)
+        meta.update({k: v for k, v in spec.config})
+    else:
+        # converted reference checkpoints: derive from the first conv
+        from topaz_tpu.models.layers import ConvSpec, ResidSpec
 
-    for lspec in spec.features:
-        if isinstance(lspec, (ConvSpec, ResidSpec)):
-            meta["units"] = lspec.nout
-            meta["bn"] = lspec.bn
-            break
+        for lspec in spec.features:
+            if isinstance(lspec, (ConvSpec, ResidSpec)):
+                meta["units"] = lspec.nout
+                meta["bn"] = lspec.bn
+                break
     if extra_meta:
         meta.update(extra_meta)
     save_checkpoint(path, meta, params=params, state=state)

@@ -182,11 +182,15 @@ def _latent_dim(specs: Sequence[LayerSpec]) -> int:
 
 @dataclass(frozen=True)
 class PickerSpec:
-    """Static description of a picker: features + 1x1 classifier head."""
+    """Static description of a picker: features + 1x1 classifier head.
+
+    ``config`` records the constructor kwargs (as a hashable sorted tuple)
+    so checkpoints can rebuild the exact spec including dropout/pooling."""
 
     arch: str
     features: Tuple[LayerSpec, ...]
     dims: int = 2
+    config: Optional[Tuple] = None
 
     @property
     def width(self) -> int:
@@ -216,7 +220,10 @@ def make_picker_spec(arch: str, units=32, bn: bool = False, dropout: float = 0.0
     elif activation is not None:
         kw["activation"] = activation
     specs = ARCHITECTURES[arch](**kw)
-    return PickerSpec(arch=arch, features=tuple(specs), dims=dims)
+    config = tuple(sorted({**kw, "unit_scaling": unit_scaling,
+                           "dims": dims}.items()))
+    return PickerSpec(arch=arch, features=tuple(specs), dims=dims,
+                      config=config)
 
 
 def init_picker(spec: PickerSpec, rng) -> Tuple[Dict, Dict]:

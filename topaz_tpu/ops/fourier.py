@@ -99,18 +99,3 @@ def lowpass(x: jnp.ndarray, factor: float = 1, dims: int = 2) -> jnp.ndarray:
     F = jnp.where(keep, F, 0)
     out = jnp.fft.irfftn(F, s=shape, axes=tuple(range(-dims, 0)))
     return out.astype(x.dtype)
-
-
-def gaussian_filter_kernel(sigma: float, s: int = 11, dims: int = 2) -> np.ndarray:
-    """Dense Gaussian kernel (host-side constant), matching
-    topaz/filters.py:6-19."""
-    dim = s // 2
-    xx = np.arange(-dim, dim + 1)
-    if dims == 2:
-        g = np.exp(-(xx[:, None] ** 2 + xx[None, :] ** 2) / (2 * sigma**2))
-    else:
-        g = np.exp(
-            -(xx[:, None, None] ** 2 + xx[None, :, None] ** 2 + xx[None, None, :] ** 2)
-            / (2 * sigma**2)
-        )
-    return (g / g.sum()).astype(np.float32)

@@ -31,7 +31,7 @@ class MicrographPipeline:
         scale: int = 8,
         radius: int = 14,
         threshold: float = -6.0,
-        max_peaks: int = 2048,
+        max_peaks: Optional[int] = None,
         normalize: bool = True,
         mesh=None,
         precision=None,
@@ -70,7 +70,16 @@ class MicrographPipeline:
 
         spec, params, state = self.spec, self.params, self.state
         precision = self.precision
-        r, t, k = self.radius, self.threshold, self.max_peaks
+        r, t = self.radius, self.threshold
+        # top-k bound: peaks are pairwise > r apart, so a packing bound on
+        # the (downsampled) score map size never truncates
+        H, W = shape
+        sh, sw = (H // self.scale, W // self.scale) if self.scale > 1 else (H, W)
+        if self.max_peaks is not None:
+            k = self.max_peaks
+        else:
+            k = min(sh * sw,
+                    int((sh + r) * (sw + r) / max(np.pi * (r / 2.0) ** 2, 1)) + 16)
         scale = self.scale
         denoiser = self.denoiser
         dparams = getattr(self, "dparams", None)
@@ -140,24 +149,24 @@ class MicrographPipeline:
         # shape buckets, preserving order within a bucket
         buckets: Dict[Tuple[int, int], List[str]] = defaultdict(list)
         for p in paths:
-            from topaz_tpu.io.mrc import parse_header
+            buckets[_image_shape(p)].append(p)
 
-            with open(p, "rb") as f:
-                h = parse_header(f.read(1024))
-            buckets[(int(h.ny), int(h.nx))].append(p)
-
-        # background loader keeps the device fed
+        # background loader keeps the device fed; errors propagate to the
+        # consumer instead of hanging it
         def load_batches(out_q):
-            for shape, bucket in buckets.items():
-                for start in range(0, len(bucket), batch_size):
-                    chunk = bucket[start : start + batch_size]
-                    imgs = [np.asarray(load_image(p), dtype=np.float32)
-                            for p in chunk]
-                    n_real = len(imgs)
-                    while len(imgs) < batch_size:
-                        imgs.append(imgs[-1])  # pad partial batch
-                    out_q.put((shape, chunk, n_real, np.stack(imgs)))
-            out_q.put(None)
+            try:
+                for shape, bucket in buckets.items():
+                    for start in range(0, len(bucket), batch_size):
+                        chunk = bucket[start : start + batch_size]
+                        imgs = [np.asarray(load_image(p), dtype=np.float32)
+                                for p in chunk]
+                        n_real = len(imgs)
+                        while len(imgs) < batch_size:
+                            imgs.append(imgs[-1])  # pad partial batch
+                        out_q.put((shape, chunk, n_real, np.stack(imgs)))
+                out_q.put(None)
+            except BaseException as e:  # noqa: BLE001
+                out_q.put(e)
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         thread = threading.Thread(target=load_batches, args=(q,), daemon=True)
@@ -169,6 +178,8 @@ class MicrographPipeline:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             shape, chunk, n_real, arr = item
             fn = self._fn_for(shape, len(arr))
             with stage(f"pipeline/batch{shape}"):
@@ -183,3 +194,26 @@ class MicrographPipeline:
                 if dens is not None:
                     result = result + (dens[i],)
                 yield result
+
+
+def _image_shape(path: str) -> Tuple[int, int]:
+    """Cheap (H, W) probe per format — header-only for MRC, metadata-only
+    for PIL formats, mmap for npy."""
+    import os
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".mrc", ".mrcs"):
+        from topaz_tpu.io.mrc import parse_header
+
+        with open(path, "rb") as f:
+            h = parse_header(f.read(1024))
+        return (int(h.ny), int(h.nx))
+    if ext in (".tiff", ".tif", ".png", ".jpg", ".jpeg"):
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return (im.height, im.width)
+    if ext == ".npy":
+        arr = np.load(path, mmap_mode="r")
+        return (arr.shape[-2], arr.shape[-1])
+    raise ValueError(f"unsupported micrograph format for batching: {path}")

@@ -291,13 +291,18 @@ def train_model(args, output=None):
         q: "queue.Queue" = queue.Queue(maxsize=4)
 
         def _producer(n=args.epoch_size):
-            for _ in range(n):
-                q.put(sampler.sample_batch(args.minibatch_size, n_pos))
-            q.put(None)
+            try:
+                for _ in range(n):
+                    q.put(sampler.sample_batch(args.minibatch_size, n_pos))
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         threading.Thread(target=_producer, daemon=True).start()
         pending = None  # (epoch, it, device metrics) printed one step late
         while (item := q.get()) is not None:
+            if isinstance(item, BaseException):
+                raise item
             crops, _labels = item
             state, metrics = step_fn(state, crops)
             if pending is not None:
