@@ -51,12 +51,24 @@ def _pool2(x, dims=2):
 
 
 def _up_nearest(x, size, dims=2):
-    """torch F.interpolate(mode='nearest'): src index = floor(dst * in/out)."""
+    """torch F.interpolate(mode='nearest'): src index = floor(dst * in/out).
+
+    Exact-2x axes (every level of a power-of-two image) use a broadcast
+    reshape instead of a gather — identical result (floor indexing maps
+    each source element to two consecutive outputs), far cheaper on TPU."""
     for d in range(dims):
         axis = 1 + d
         n_in = x.shape[axis]
         n_out = size[d]
-        if n_in != n_out:
+        if n_in == n_out:
+            continue
+        if n_out == 2 * n_in:
+            expanded = jnp.expand_dims(x, axis + 1)
+            tiled = jnp.broadcast_to(
+                expanded, expanded.shape[: axis + 1] + (2,) + expanded.shape[axis + 2 :]
+            )
+            x = tiled.reshape(x.shape[:axis] + (n_out,) + x.shape[axis + 1 :])
+        else:
             idx = (jnp.arange(n_out) * n_in) // n_out
             x = jnp.take(x, idx, axis=axis)
     return x
