@@ -137,3 +137,30 @@ def test_halo_denoiser_unet_approx(rng):
     assert sharded.shape == whole.shape
     corr = np.corrcoef(sharded.ravel(), whole.ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_halo_denoiser_3d(rng):
+    """3D halo-sharded denoising: z-sharded volume through a random 3D
+    U-Net approximates the whole-volume pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from topaz_tpu.models.denoise import apply_unet
+    from topaz_tpu.models.denoise_factory import new_denoiser
+    from topaz_tpu.parallel.mesh import make_halo_denoiser, make_mesh
+
+    meta, params = new_denoiser("unet", nf=4, base_width=7, dims=3, seed=0)
+    mesh = make_mesh(n_data=1, n_space=4)
+    D, H, W = 4 * 32, 64, 64
+    vol = rng.normal(0.0, 1.0, (D, H, W)).astype(np.float32)
+
+    denoise = make_halo_denoiser(meta, params, mesh, halo=16)
+    sharded = np.asarray(denoise(jnp.asarray(vol)))
+
+    mu, std = vol.mean(), vol.std()
+    xn = (vol - mu) / std
+    whole = np.asarray(apply_unet(params, jnp.asarray(xn)[None, ..., None],
+                                  dims=3))[0, ..., 0] * std + mu
+    assert sharded.shape == whole.shape
+    corr = np.corrcoef(sharded.ravel(), whole.ravel())[0, 1]
+    assert corr > 0.95, corr

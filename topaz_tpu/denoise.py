@@ -121,48 +121,58 @@ class Denoise3D(Denoise):
         count = 0
 
         dims = self.dims
-        if "vol" not in self._jit_cache:
+        key = ("vol", d, batch_size)
+        if key not in self._jit_cache:
             @jax.jit
-            def fn(params, x):
-                # volume-level statistics, patch normalized like the
-                # reference (denoise.py:354-356 normalizes with the global
-                # mu/std, then _denoise re-normalizes per patch)
-                m2 = jnp.mean(x)
-                s2 = jnp.std(x)
-                xin = ((x - m2) / s2)[None, ..., None]
+            def fn(params, x):  # (B, d, d, d)
+                # volume-level statistics applied outside; per-patch stats
+                # like the reference (denoise.py:354-356 + _denoise)
+                m2 = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+                s2 = jnp.std(x, axis=(1, 2, 3), keepdims=True)
+                xin = ((x - m2) / s2)[..., None]
                 y = self.apply_fn(params, xin, dims=dims,
-                                  precision=self.precision)[0, ..., 0]
+                                  precision=self.precision)[..., 0]
                 return y * s2 + m2
 
-            self._jit_cache["vol"] = fn
-        fn = self._jit_cache["vol"]
+            self._jit_cache[key] = fn
+        fn = self._jit_cache[key]
 
-        for pi in range(grid[0]):
-            for pj in range(grid[1]):
-                for pk in range(grid[2]):
-                    i, j, k = (pi * patch_size, pj * patch_size, pk * patch_size)
-                    x = np.zeros((d, d, d), dtype=np.float32)
-                    si, ei = max(0, i - padding), min(tomo.shape[0], i + patch_size + padding)
-                    sj, ej = max(0, j - padding), min(tomo.shape[1], j + patch_size + padding)
-                    sk, ek = max(0, k - padding), min(tomo.shape[2], k + patch_size + padding)
-                    x[padding - i + si : padding - i + si + (ei - si),
-                      padding - j + sj : padding - j + sj + (ej - sj),
-                      padding - k + sk : padding - k + sk + (ek - sk)] = \
-                        tomo[si:ei, sj:ej, sk:ek]
-                    xn = (x - mu) / std
-                    y = np.asarray(fn(self.params, jnp.asarray(xn))) * std + mu
-                    patch = denoised[i : i + patch_size, j : j + patch_size,
-                                     k : k + patch_size]
-                    pz, py, px = patch.shape
-                    denoised[i : i + patch_size, j : j + patch_size,
-                             k : k + patch_size] = \
-                        y[padding : padding + pz, padding : padding + py,
-                          padding : padding + px]
-                    count += 1
-                    if verbose:
-                        print(f"# [{volume_num}/{total_volumes}] "
-                              f"{round(count * 100 / total)}%",
-                              file=sys.stderr, end="\r")
+        def extract_patch(i, j, k):
+            x = np.zeros((d, d, d), dtype=np.float32)
+            si, ei = max(0, i - padding), min(tomo.shape[0], i + patch_size + padding)
+            sj, ej = max(0, j - padding), min(tomo.shape[1], j + patch_size + padding)
+            sk, ek = max(0, k - padding), min(tomo.shape[2], k + patch_size + padding)
+            x[padding - i + si : padding - i + si + (ei - si),
+              padding - j + sj : padding - j + sj + (ej - sj),
+              padding - k + sk : padding - k + sk + (ek - sk)] = \
+                tomo[si:ei, sj:ej, sk:ek]
+            return x
+
+        origins = [(pi * patch_size, pj * patch_size, pk * patch_size)
+                   for pi in range(grid[0])
+                   for pj in range(grid[1])
+                   for pk in range(grid[2])]
+        for start in range(0, len(origins), batch_size):
+            chunk = origins[start : start + batch_size]
+            xs = [extract_patch(*o) for o in chunk]
+            n_real = len(xs)
+            while len(xs) < batch_size:
+                xs.append(xs[-1])
+            xn = (np.stack(xs) - mu) / std
+            ys = np.asarray(fn(self.params, jnp.asarray(xn))) * std + mu
+            for (i, j, k), y in zip(chunk, ys[:n_real]):
+                patch = denoised[i : i + patch_size, j : j + patch_size,
+                                 k : k + patch_size]
+                pz, py, px = patch.shape
+                denoised[i : i + patch_size, j : j + patch_size,
+                         k : k + patch_size] = \
+                    y[padding : padding + pz, padding : padding + py,
+                      padding : padding + px]
+                count += 1
+                if verbose:
+                    print(f"# [{volume_num}/{total_volumes}] "
+                          f"{round(count * 100 / total)}%",
+                          file=sys.stderr, end="\r")
         if verbose:
             print(" " * 100, file=sys.stderr, end="\r")
         return denoised

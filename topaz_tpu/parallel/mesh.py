@@ -138,12 +138,10 @@ def make_halo_denoiser(meta: Dict, params, mesh: Mesh, halo: int = 256,
 
     apply_fn = apply_fn_for(meta)
     dims = meta.get("dims", 2)
-    if dims != 2:
-        raise NotImplementedError("halo denoiser currently supports 2D")
     axis = "space"
     n_shards = mesh.shape[axis]
 
-    def shard_fn(block):  # (H/n, W)
+    def shard_fn(block):  # (H/n, W) for 2D; (D/n, H, W) for 3D
         # global statistics over the whole image
         stats = jax.lax.psum(
             jnp.stack([jnp.sum(block), jnp.sum(block**2),
@@ -167,12 +165,14 @@ def make_halo_denoiser(meta: Dict, params, mesh: Mesh, halo: int = 256,
         bottom_halo = jnp.where(idx < n_shards - 1, bottom_halo,
                                 jnp.zeros_like(bottom_halo))
         xn = jnp.concatenate([top_halo, bn, bottom_halo], axis=0)
-        y = apply_fn(params, xn[None, :, :, None], dims=2,
-                     precision=precision)[0, :, :, 0]
+        y = apply_fn(params, xn[None, ..., None], dims=dims,
+                     precision=precision)[0, ..., 0]
         return y[halo:-halo] * std + mu
 
-    sharded = shard_map(shard_fn, mesh=mesh, in_specs=P(axis, None),
-                        out_specs=P(axis, None))
+    # shard the leading spatial axis (rows for 2D, z for 3D)
+    spec_in = P(*((axis,) + (None,) * (dims - 1)))
+    sharded = shard_map(shard_fn, mesh=mesh, in_specs=spec_in,
+                        out_specs=spec_in)
 
     @jax.jit
     def denoise(image):
