@@ -1,0 +1,116 @@
+"""File-utility coverage: VIA CSV, box/json writers, particle stacks,
+normalize metadata, y-axis inversion."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _table():
+    return pd.DataFrame({
+        "image_name": ["a", "a", "b"],
+        "x_coord": [10, 20, 30],
+        "y_coord": [15, 25, 35],
+        "score": [1.5, -0.5, 2.0],
+    })
+
+
+def test_via_csv_roundtrip(tmp_path):
+    from topaz_tpu.io.coordinates import read_via_csv, write_via_csv
+
+    path = str(tmp_path / "picks.csv")
+    write_via_csv(path, _table())
+    back = read_via_csv(path)
+    assert list(back.x_coord) == [10, 20, 30]
+    assert list(back.y_coord) == [15, 25, 35]
+    np.testing.assert_allclose(back.score.astype(float), [1.5, -0.5, 2.0])
+
+
+def test_box_and_json_writers(tmp_path):
+    from topaz_tpu.io.coordinates import (boxes_to_coordinates,
+                                          read_box, write_coordinates)
+
+    write_coordinates(str(tmp_path), _table(), format="box", boxsize=20)
+    box = read_box(str(tmp_path / "a.box"))
+    assert box.shape == (2, 4)
+    coords = boxes_to_coordinates(box)
+    np.testing.assert_array_equal(coords, [[10, 15], [20, 25]])
+
+    write_coordinates(str(tmp_path), _table(), format="json")
+    with open(tmp_path / "b_info.json") as f:
+        data = json.load(f)
+    assert data["boxes"] == [[30, 35, "manual"]]
+
+
+def test_particle_stack(tmp_path, rng):
+    from topaz_tpu.io import mrc, star
+    from topaz_tpu.ops.masks import create_particle_stack
+
+    img = rng.normal(size=(64, 64)).astype(np.float32)
+    mrc.write(str(tmp_path / "a.mrc"), img)
+    mrc.write(str(tmp_path / "b.mrc"), img * 2)
+    parts = str(tmp_path / "parts.txt")
+    _table().to_csv(parts, sep="\t", index=False)
+
+    out = str(tmp_path / "stack.mrcs")
+    create_particle_stack(parts, out, threshold=-np.inf, size=16, resize=-1,
+                          image_root=str(tmp_path), image_ext=".mrc",
+                          metadata_file=None)
+    stack, header, _ = mrc.read(out)
+    assert stack.shape == (3, 16, 16)
+    # per-particle standardization
+    assert abs(float(stack[0].mean())) < 1e-4
+
+    with open(str(tmp_path / "stack.star")) as f:
+        table = star.parse(f)
+    assert len(table) == 3
+    assert "ImageName" in table.columns
+    assert list(table[star.X_COLUMN_NAME]) == [10, 20, 30]
+
+
+def test_normalize_metadata_json(tmp_path, rng):
+    from topaz_tpu.io import mrc
+    from topaz_tpu.preprocess import normalize_file
+
+    x = rng.normal(2.0, 1.0, (64, 64)).astype(np.float32)
+    mrc.write(str(tmp_path / "m.mrc"), x)
+    out = tmp_path / "out"
+    os.makedirs(out)
+    normalize_file(str(tmp_path / "m.mrc"), str(out), affine=True,
+                   metadata=True)
+    with open(out / "m.metadata.json") as f:
+        md = json.load(f)
+    assert abs(md["mu"] - 2.0) < 0.1
+    assert md["pi"] == 1
+
+
+def test_convert_invert_y(tmp_path, rng):
+    import subprocess
+    import sys
+
+    from topaz_tpu.io import mrc
+
+    mrc.write(str(tmp_path / "a.mrc"),
+              rng.normal(size=(50, 40)).astype(np.float32))
+    mrc.write(str(tmp_path / "b.mrc"),
+              rng.normal(size=(50, 40)).astype(np.float32))
+    src = tmp_path / "parts.txt"
+    _table().to_csv(src, sep="\t", index=False)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "topaz_tpu", "convert", "--invert-y",
+         "--imagedir", str(tmp_path), "--image-ext", "mrc",
+         "-o", str(tmp_path / "flipped.txt"), str(src)],
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr
+    flipped = pd.read_csv(tmp_path / "flipped.txt", sep="\t")
+    # y' = H - 1 - y with H = 50
+    assert sorted(flipped.y_coord) == sorted([49 - 15, 49 - 25, 49 - 35])
