@@ -190,3 +190,34 @@ def test_end_to_end_training(tmp_path, rng, capsys):
     spec, params, state = load_picker(ckpt)
     assert spec.arch == "resnet8"
     assert spec.width == 71
+
+
+def test_kfold_split_training(tmp_path, rng):
+    """train -k 5 --fold 0 splits micrographs and evaluates the heldout fold."""
+    import types
+
+    from topaz_tpu.training import train_from_args
+
+    img_dir, targets_path = _make_synthetic_dataset(tmp_path, rng, n_images=5)
+    args = types.SimpleNamespace(
+        describe=False, device=0, num_workers=0, num_threads=0,
+        train_images=img_dir, train_targets=targets_path,
+        test_images=None, test_targets=None,
+        format_="auto", image_ext="",
+        k_fold=5, fold=0, cross_validation_seed=42,
+        num_particles=20, pi=None, radius=3, method="PN",
+        slack=-1, autoencoder=0, l2=0.0, learning_rate=2e-4,
+        natural=False, minibatch_size=8, minibatch_balance=0.25,
+        epoch_size=2, num_epochs=1,
+        pretrained=False, model="resnet8", units=4, dropout=0.0, bn="off",
+        pooling=None, unit_scaling=2, ngf=32, patch_size=96, patch_padding=48,
+        save_prefix=None, output=str(tmp_path / "log.tsv"),
+        test_batch_size=1, seed=0, dims=2,
+    )
+    train_from_args(args)
+    import pandas as pd
+
+    log = pd.read_csv(tmp_path / "log.tsv", sep="\t")
+    # heldout-fold evaluation rows present
+    assert (log.split == "test").sum() == 1
+    assert np.isfinite(log[log.split == "test"].auprc.astype(float)).all()
