@@ -114,3 +114,63 @@ def test_convert_invert_y(tmp_path, rng):
     flipped = pd.read_csv(tmp_path / "flipped.txt", sep="\t")
     # y' = H - 1 - y with H = 50
     assert sorted(flipped.y_coord) == sorted([49 - 15, 49 - 25, 49 - 35])
+
+
+def test_denoise_stack(tmp_path, rng):
+    """denoise --stack path: every frame of an MRC stack is denoised."""
+    from topaz_tpu.denoise import Denoise, denoise_stack
+    from topaz_tpu.io import mrc
+
+    stack = rng.normal(size=(3, 64, 64)).astype(np.float32)
+    mrc.write(str(tmp_path / "stack.mrcs"), stack)
+    model = Denoise("fcnn")
+    out = denoise_stack(str(tmp_path / "stack.mrcs"),
+                        str(tmp_path / "out.mrcs"), [model], patch_size=-1)
+    saved, header, _ = mrc.read(str(tmp_path / "out.mrcs"))
+    assert saved.shape == (3, 64, 64)
+    assert np.isfinite(saved).all()
+    assert not np.allclose(saved, stack)
+
+
+def test_relion_wrapper_star_reading(tmp_path):
+    """The RELION wrappers' star-table reader handles micrographs star."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_topaz_pick",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "relion_run_topaz", "run_topaz_pick.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    star_path = tmp_path / "micrographs.star"
+    star_path.write_text(
+        "data_micrographs\n\nloop_\n_rlnMicrographName #1\n"
+        "MotionCorr/job002/mic1.mrc\nMotionCorr/job002/mic2.mrc\n")
+    paths = mod.read_micrograph_paths(str(star_path))
+    assert paths == ["MotionCorr/job002/mic1.mrc", "MotionCorr/job002/mic2.mrc"]
+
+
+def test_scripts_train_test_split(tmp_path):
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    images = tmp_path / "images.txt"
+    pd.DataFrame({"image_name": [f"m{i}" for i in range(5)],
+                  "path": [f"/d/m{i}.mrc" for i in range(5)]}).to_csv(
+        images, sep="\t", index=False)
+    targets = tmp_path / "targets.txt"
+    pd.DataFrame({"image_name": ["m0", "m1", "m2", "m3", "m4"],
+                  "x_coord": range(5), "y_coord": range(5)}).to_csv(
+        targets, sep="\t", index=False)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "train_test_split.py"),
+         "--images", str(images), "--targets", str(targets), "-n", "2"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    test_imgs = pd.read_csv(tmp_path / "images_test.txt", sep="\t")
+    train_imgs = pd.read_csv(tmp_path / "images_train.txt", sep="\t")
+    assert len(test_imgs) == 2 and len(train_imgs) == 3
+    train_t = pd.read_csv(tmp_path / "targets_train.txt", sep="\t")
+    assert set(train_t.image_name) == set(train_imgs.image_name)
