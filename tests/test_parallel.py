@@ -164,3 +164,26 @@ def test_halo_denoiser_3d(rng):
     assert sharded.shape == whole.shape
     corr = np.corrcoef(sharded.ravel(), whole.ravel())[0, 1]
     assert corr > 0.95, corr
+
+
+def test_dryrun_multichip_self_bootstraps(tmp_path):
+    """The driver gate: dryrun_multichip must succeed even when the calling
+    process sees fewer devices — it re-execs a virtual-CPU-mesh child."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    # simulate the driver's environment: no virtual-device XLA flags
+    env.pop("XLA_FLAGS", None)
+    env.pop("TOPAZ_DRYRUN_CHILD", None)
+    env["JAX_PLATFORMS"] = "cpu"  # stay off the exclusive TPU grant in tests
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(4)\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          cwd="/root/repo", capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+    assert "dryrun_multichip OK on 4 devices" in proc.stdout
