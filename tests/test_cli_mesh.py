@@ -1,0 +1,148 @@
+"""Multi-device CLI wiring: the actual commands (argv -> main) on the
+8-device virtual CPU mesh produce the same outputs as single-device runs.
+
+Covers the -d flag convention: -2 = ALL devices via the mesh (the
+reference's nn.DataParallel mode, topaz/commands/denoise3d.py:62-118),
+N >= 0 = single device."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def run_cli(argv):
+    from topaz_tpu.cli import main
+
+    old = sys.argv
+    sys.argv = ["topaz"] + [str(a) for a in argv]
+    try:
+        main.main()
+    finally:
+        sys.argv = old
+
+
+def _write_mrc(path, arr):
+    from topaz_tpu.io import mrc
+
+    mrc.write(str(path), np.asarray(arr, dtype=np.float32))
+
+
+def test_extract_batched_mesh_matches_single_device(tmp_path, rng):
+    """topaz extract --batch-size 8 -d -2: mesh-sharded batched scoring
+    produces picks identical to the unsharded batched path and to the
+    per-image exact path."""
+    paths = []
+    for i in range(6):
+        img = rng.normal(0, 1, (128, 128)).astype(np.float32)
+        yy, xx = np.mgrid[0:128, 0:128]
+        for cy, cx in rng.integers(20, 108, size=(3, 2)):
+            img -= 3.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 18.0)
+        p = tmp_path / f"m{i}.mrc"
+        _write_mrc(p, img)
+        paths.append(str(p))
+
+    base = ["extract", "-m", "resnet8_u32", "-r", "6", "-t", "0"]
+    run_cli(base + ["--batch-size", "8", "-d", "-2",
+                    "-o", str(tmp_path / "mesh.txt")] + paths)
+    run_cli(base + ["--batch-size", "8", "-d", "0",
+                    "-o", str(tmp_path / "nomesh.txt")] + paths)
+    run_cli(base + ["-o", str(tmp_path / "single.txt")] + paths)
+
+    mesh_t = pd.read_csv(tmp_path / "mesh.txt", sep="\t")
+    nomesh_t = pd.read_csv(tmp_path / "nomesh.txt", sep="\t")
+    single_t = pd.read_csv(tmp_path / "single.txt", sep="\t")
+
+    key = ["image_name", "x_coord", "y_coord"]
+    for t in (mesh_t, nomesh_t, single_t):
+        t.sort_values(key, inplace=True, ignore_index=True)
+
+    # sharded == unsharded batched program, and both == per-image exact path
+    pd.testing.assert_frame_equal(mesh_t[key], nomesh_t[key])
+    np.testing.assert_allclose(mesh_t.score, nomesh_t.score, rtol=1e-4)
+    pd.testing.assert_frame_equal(mesh_t[key], single_t[key])
+    np.testing.assert_allclose(mesh_t.score, single_t.score, rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_denoise3d_mesh_matches_single_device(tmp_path, rng):
+    """topaz denoise3d -d -2: patch batches sharded over the data axis give
+    the same tomogram as -d 0 (per-patch statistics make it exact)."""
+    from topaz_tpu.io import mrc
+    from topaz_tpu.models.denoise_factory import new_denoiser, save_denoiser
+
+    meta, params = new_denoiser("unet", nf=4, base_width=7, dims=3, seed=0)
+    model_path = tmp_path / "tiny3d.npz"
+    save_denoiser(str(model_path), meta, params)
+
+    vol = rng.normal(0, 1, (48, 48, 48)).astype(np.float32)
+    _write_mrc(tmp_path / "vol.mrc", vol)
+
+    for d, outdir in ((0, "out0"), (-2, "out2")):
+        os.makedirs(tmp_path / outdir, exist_ok=True)
+        run_cli(["denoise3d", "-m", str(model_path), "-s", "24", "-p", "8",
+                 "-d", d, "-o", str(tmp_path / outdir),
+                 str(tmp_path / "vol.mrc")])
+
+    y0, _, _ = mrc.read(str(tmp_path / "out0" / "vol.mrc"))
+    y2, _, _ = mrc.read(str(tmp_path / "out2" / "vol.mrc"))
+    assert y0.shape == vol.shape
+    np.testing.assert_allclose(y2, y0, rtol=1e-4, atol=1e-5)
+
+
+def test_denoise2d_mesh_halo_matches_single_device(tmp_path, rng):
+    """topaz denoise -d -2: whole-micrograph halo-sharded denoising tracks
+    the single-device whole-image result (exact away from shard seams for
+    the pool-free fcnn)."""
+    from topaz_tpu.io import mrc
+
+    img = rng.normal(1.5, 2.0, (256, 128)).astype(np.float32)
+    _write_mrc(tmp_path / "im.mrc", img)
+
+    for d, outdir in ((0, "out0"), (-2, "out2")):
+        os.makedirs(tmp_path / outdir, exist_ok=True)
+        run_cli(["denoise", "-m", "fcnn", "-s", "-1", "-d", d,
+                 "-o", str(tmp_path / outdir), str(tmp_path / "im.mrc")])
+
+    y0, _, _ = mrc.read(str(tmp_path / "out0" / "im.mrc"))
+    y2, _, _ = mrc.read(str(tmp_path / "out2" / "im.mrc"))
+    assert y2.shape == y0.shape
+    assert np.corrcoef(y0.ravel(), y2.ravel())[0, 1] > 0.99
+    # interior rows (away from the fcnn receptive field of shard seams)
+    np.testing.assert_allclose(y2[32:-32], y0[32:-32], rtol=1e-3, atol=1e-3)
+
+
+def test_train_dp_mesh(tmp_path, rng, capsys):
+    """topaz train -d -2: data-parallel training over the mesh runs and
+    emits the TSV contract with finite losses."""
+    import types
+
+    from test_training import _make_synthetic_dataset
+
+    from topaz_tpu.training import train_from_args
+
+    img_dir, targets_path = _make_synthetic_dataset(tmp_path, rng)
+
+    args = types.SimpleNamespace(
+        describe=False, device=-2, num_workers=0, num_threads=0,
+        train_images=img_dir, train_targets=targets_path,
+        test_images=None, test_targets=None,
+        format_="auto", image_ext="",
+        k_fold=0, fold=0, cross_validation_seed=42,
+        num_particles=20, pi=None, radius=3, method="PN",
+        slack=-1, autoencoder=0, l2=0.0, learning_rate=2e-4,
+        natural=False, minibatch_size=16, minibatch_balance=0.25,
+        epoch_size=2, num_epochs=1,
+        pretrained=False, model="resnet8", units=4, dropout=0.0, bn="off",
+        pooling=None, unit_scaling=2, ngf=32, patch_size=96, patch_padding=48,
+        save_prefix=str(tmp_path / "model"), output=str(tmp_path / "log.tsv"),
+        test_batch_size=1, seed=0, dims=2,
+    )
+    train_from_args(args)
+
+    log = pd.read_csv(tmp_path / "log.tsv", sep="\t")
+    train_rows = log[log.split == "train"]
+    assert len(train_rows) == 2
+    assert np.isfinite(train_rows.loss.astype(float)).all()

@@ -209,14 +209,8 @@ def test_denoise_training_runs(tmp_path, rng):
 def test_denoise3d_batched_patches_match(tmp_path, rng):
     """Batched 3D patch inference equals batch_size=1 (same stitching)."""
     from topaz_tpu.denoise import Denoise3D
-    from topaz_tpu.models.denoise_factory import apply_fn_for, new_denoiser
 
-    meta, params = new_denoiser("unet", nf=4, base_width=7, dims=3, seed=1)
-    den = Denoise3D.__new__(Denoise3D)
-    den.meta, den.params = meta, params
-    den.apply_fn = apply_fn_for(meta)
-    den.precision = None
-    den._jit_cache = {}
+    den = Denoise3D.from_arch("unet", nf=4, base_width=7, dims=3, seed=1)
 
     vol = rng.normal(size=(64, 72, 80)).astype(np.float32)
     out1 = den.denoise(vol, patch_size=32, padding=8, batch_size=1,

@@ -187,3 +187,38 @@ def test_dryrun_multichip_self_bootstraps(tmp_path):
                           cwd="/root/repo", capture_output=True, text=True)
     assert proc.returncode == 0, proc.stderr
     assert "dryrun_multichip OK on 4 devices" in proc.stdout
+
+
+def test_distributed_init_single_process():
+    """Env-driven jax.distributed.initialize (multi-host hook) comes up in
+    a single-process configuration and resolve_devices(-2) sees devices."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.update({
+        "TOPAZ_COORDINATOR": f"localhost:{port}",
+        "TOPAZ_NUM_PROCESSES": "1",
+        "TOPAZ_PROCESS_ID": "0",
+        "JAX_PLATFORMS": "cpu",
+    })
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from topaz_tpu.parallel.devices import maybe_distributed_init, resolve_devices\n"
+        "assert maybe_distributed_init()\n"
+        "assert maybe_distributed_init()  # idempotent\n"
+        "devs = resolve_devices(-2)\n"
+        "assert len(devs) >= 1\n"
+        "print('DIST-OK', jax.process_count())\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          cwd="/root/repo", capture_output=True, text=True,
+                          timeout=120)
+    assert proc.returncode == 0, proc.stderr
+    assert "DIST-OK 1" in proc.stdout

@@ -10,7 +10,7 @@ def add_arguments(parser=None):
     if parser is None:
         parser = argparse.ArgumentParser(help)
 
-    parser.add_argument("-d", "--device", default=0, type=int, help="compute device (compatibility flag; the TPU is used automatically)")
+    parser.add_argument("-d", "--device", default=0, type=int, help="compute device; -2 denoises whole micrographs spatially sharded over ALL devices (default: 0)")
     parser.add_argument("micrographs", nargs="*", help="micrographs to denoise")
     parser.add_argument("-o", "--output", default="", help="directory to save denoised micrographs")
     parser.add_argument("--suffix", default="", help='suffix for output file names; defaults to ".denoised" when no output directory is given (default: none)')

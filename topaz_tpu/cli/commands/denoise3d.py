@@ -37,7 +37,7 @@ def add_arguments(parser=None):
     parser.add_argument("-g", "--gaussian", type=float, default=0, help="standard deviation of Gaussian filter postprocessing, 0 means no postprocessing (default: 0)")
     parser.add_argument("-s", "--patch-size", type=int, default=96, help="denoises volumes in patches of this size. not used if <1 (default: 96)")
     parser.add_argument("-p", "--patch-padding", type=int, default=48, help="padding around each patch to remove edge artifacts (default: 48)")
-    parser.add_argument("-d", "--device", type=int, default=-2, help="compute device/s (compatibility flag; -2 means all devices — maps to the device mesh)")
+    parser.add_argument("-d", "--device", type=int, default=-2, help="compute device/s; -2 uses ALL devices — denoising patch batches are sharded over the device mesh (default: -2)")
 
     return parser
 

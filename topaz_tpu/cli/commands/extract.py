@@ -25,7 +25,7 @@ def add_arguments(parser=None):
     parser.add_argument("--step-radius", type=int, default=5, help="grid size when searching for optimal radius parameter (default: 5)")
     parser.add_argument("--targets", help="path to file specifying particle coordinates. used to find extraction radius that maximizes the AUPRC")
     parser.add_argument("--only-validate", action="store_true", help="flag indicating to only calculate validation metrics. does not report full prediction list")
-    parser.add_argument("-d", "--device", default=0, type=int, help="compute device (compatibility flag)")
+    parser.add_argument("-d", "--device", default=0, type=int, help="compute device; -2 shards batched scoring over ALL devices via the device mesh (default: 0)")
     parser.add_argument("-o", "--output", help="file path to write")
     parser.add_argument("--per-micrograph", action="store_true", help="write one particle file per micrograph at the location of the micrograph")
     parser.add_argument("--suffix", default="", help="optional suffix to add to particle file paths when using the --per-micrograph flag.")
@@ -47,4 +47,5 @@ def main(args):
         output=args.output, per_micrograph=args.per_micrograph,
         suffix=args.suffix, out_format=args.format, up_scale=args.up_scale,
         down_scale=args.down_scale, dims=args.dims, verbose=args.verbose,
+        device=args.device,
     )

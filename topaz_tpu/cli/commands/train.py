@@ -11,7 +11,7 @@ def add_arguments(parser=None):
         parser = argparse.ArgumentParser(help)
 
     parser.add_argument("--describe", action="store_true", help="only prints a description of the model, does not train")
-    parser.add_argument("-d", "--device", default=0, type=int, help="compute device (compatibility flag; the TPU is used automatically)")
+    parser.add_argument("-d", "--device", default=0, type=int, help="compute device; -2 trains data-parallel over ALL devices via the device mesh (default: 0)")
     parser.add_argument("--num-workers", default=0, type=int, help="number of worker processes for data augmentation (compatibility flag)")
     parser.add_argument("-j", "--num-threads", type=int, default=0, help="number of host threads (compatibility flag)")
 

@@ -40,21 +40,76 @@ from topaz_tpu.ops.fourier import lowpass as lowpass_filter
 
 
 class Denoise:
-    """2D micrograph denoiser facade (topaz/denoise.py:245-332)."""
+    """2D micrograph denoiser facade (topaz/denoise.py:245-332).
+
+    ``devices`` (from the ``-d`` flag, parallel/devices.py) with more than
+    one entry turns on halo-sharded whole-image denoising over a 'space'
+    mesh — the TPU replacement for the reference's multi-GPU DataParallel
+    (topaz/commands/denoise3d.py:103,118).
+    """
 
     dims = 2
 
-    def __init__(self, model: str = "unet", precision=None):
-        self.meta, self.params = load_denoiser(model)
+    def __init__(self, model: str = "unet", precision=None, devices=None,
+                 *, meta=None, params=None):
+        if meta is not None:
+            self.meta, self.params = meta, params
+        else:
+            self.meta, self.params = load_denoiser(model)
         self.apply_fn = apply_fn_for(self.meta)
         self.precision = precision
+        self.devices = devices
         self._jit_cache: Dict = {}
+
+    @classmethod
+    def from_arch(cls, arch: str, precision=None, devices=None, **arch_kw):
+        """Construct an untrained denoiser from an architecture name
+        (replaces the reference's fresh-model branch,
+        topaz/commands/denoise.py:88-98)."""
+        meta, params = new_denoiser(arch, **arch_kw)
+        return cls(meta=meta, params=params, precision=precision,
+                   devices=devices)
+
+    def _space_mesh(self):
+        if "smesh" not in self._jit_cache:
+            from topaz_tpu.parallel.devices import space_mesh_for
+
+            self._jit_cache["smesh"] = space_mesh_for(self.devices)
+        return self._jit_cache["smesh"]
+
+    def _apply_halo(self, x: np.ndarray) -> np.ndarray:
+        """Whole-image denoising with rows (or z-slabs for 3D) sharded over
+        the 'space' mesh axis; ppermute halo exchange + global-stat psum
+        (parallel/mesh.py:122-181)."""
+        import jax.numpy as jnp
+
+        from topaz_tpu.parallel.mesh import make_halo_denoiser
+
+        mesh = self._space_mesh()
+        n = mesh.shape["space"]
+        pad = (-x.shape[0]) % n
+        if pad:
+            width = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+            xp = np.pad(x, width, mode="edge")
+        else:
+            xp = x
+        halo = max(1, min(256, xp.shape[0] // n))
+        key = ("halo", xp.shape, halo)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = make_halo_denoiser(
+                self.meta, self.params, mesh, halo=halo,
+                precision=self.precision)
+        y = np.asarray(self._jit_cache[key](jnp.asarray(xp)))
+        return y[: x.shape[0]]
 
     def _apply(self, x: np.ndarray) -> np.ndarray:
         """Normalize by the input's own statistics, denoise, un-normalize
         (topaz/denoise.py:274-296)."""
         import jax
         import jax.numpy as jnp
+
+        if x.ndim == self.dims and self._space_mesh() is not None:
+            return self._apply_halo(x)
 
         key = x.shape
         if key not in self._jit_cache:
@@ -97,6 +152,7 @@ class Denoise:
     def train(self, train_sampler, val_sampler, **kw):
         self.params = train_denoiser(self.meta, self.params, train_sampler,
                                      val_sampler, dims=self.dims, **kw)
+        self._jit_cache.clear()  # compiled programs captured the old params
 
 
 class Denoise3D(Denoise):
@@ -113,6 +169,18 @@ class Denoise3D(Denoise):
         import jax
         import jax.numpy as jnp
 
+        from topaz_tpu.parallel.devices import data_mesh_for
+
+        # patch batches sharded over the mesh's data axis: the exact TPU
+        # analog of the reference's nn.DataParallel patch scatter/gather
+        # (topaz/commands/denoise3d.py:103,118) — per-patch statistics make
+        # the result identical to the single-device patch path
+        mesh = data_mesh_for(self.devices)
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            batch_size = max(batch_size, n_data)
+            batch_size += (-batch_size) % n_data
+
         mu, std = tomo.mean(), tomo.std()
         denoised = np.zeros_like(tomo)
         d = patch_size + 2 * padding
@@ -123,7 +191,6 @@ class Denoise3D(Denoise):
         dims = self.dims
         key = ("vol", d, batch_size)
         if key not in self._jit_cache:
-            @jax.jit
             def fn(params, x):  # (B, d, d, d)
                 # volume-level statistics applied outside; per-patch stats
                 # like the reference (denoise.py:354-356 + _denoise)
@@ -134,7 +201,16 @@ class Denoise3D(Denoise):
                                   precision=self.precision)[..., 0]
                 return y * s2 + m2
 
-            self._jit_cache[key] = fn
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._jit_cache[key] = jax.jit(
+                    fn,
+                    in_shardings=(NamedSharding(mesh, P()),
+                                  NamedSharding(mesh, P("data"))),
+                )
+            else:
+                self._jit_cache[key] = jax.jit(fn)
         fn = self._jit_cache[key]
 
         def extract_patch(i, j, k):
@@ -446,6 +522,17 @@ def denoise_tomogram_stream(volumes: List[str], model: Denoise3D,
 
 def denoise_main(args):
     """topaz denoise (topaz/commands/denoise.py:75-130)."""
+    from topaz_tpu.parallel.devices import resolve_devices
+
+    devices = resolve_devices(args.device)
+    patch_size = args.patch_size
+    if len(devices) > 1:
+        # multi-device: denoise each micrograph whole, spatially sharded
+        # over the mesh, instead of the serial patch loop
+        print(f"# denoising sharded over {len(devices)} devices",
+              file=sys.stderr)
+        patch_size = -1
+
     do_train = (args.dir_a is not None and args.dir_b is not None) or \
                (args.hdf is not None)
     if do_train:
@@ -453,16 +540,9 @@ def denoise_main(args):
                                                   make_paired_images_samplers)
 
         try:
-            denoiser = Denoise(args.arch)
+            denoiser = Denoise(args.arch, devices=devices)
         except FileNotFoundError:
-            from topaz_tpu.models.denoise_factory import new_denoiser
-
-            meta, params = new_denoiser(args.arch)
-            denoiser = Denoise.__new__(Denoise)
-            denoiser.meta, denoiser.params = meta, params
-            denoiser.apply_fn = apply_fn_for(meta)
-            denoiser.precision = None
-            denoiser._jit_cache = {}
+            denoiser = Denoise.from_arch(args.arch, devices=devices)
 
         if args.hdf is None:
             train_s, val_s = make_paired_images_samplers(
@@ -485,7 +565,7 @@ def denoise_main(args):
                       file=sys.stderr)
                 continue
             print("# Loading model:", name, file=sys.stderr)
-            models.append(Denoise(name))
+            models.append(Denoise(name, devices=devices))
         if not models:
             return
 
@@ -501,34 +581,38 @@ def denoise_main(args):
                              pixel_cutoff=args.pixel_cutoff, gaus=gaus,
                              inv_gaus=inv_gaus, deconvolve=args.deconvolve,
                              deconv_patch=args.deconv_patch,
-                             patch_size=args.patch_size,
+                             patch_size=patch_size,
                              padding=args.patch_padding, normalize=normalize)
     return denoise_stream(args.micrographs, args.output, args.format_,
                           args.suffix, models, lowpass=args.lowpass,
                           pixel_cutoff=args.pixel_cutoff, gaus=gaus,
                           inv_gaus=inv_gaus, deconvolve=args.deconvolve,
                           deconv_patch=args.deconv_patch,
-                          patch_size=args.patch_size,
+                          patch_size=patch_size,
                           padding=args.patch_padding, normalize=normalize)
 
 
 def denoise3d_main(args):
-    """topaz denoise3d (topaz/commands/denoise3d.py:88-130)."""
+    """topaz denoise3d (topaz/commands/denoise3d.py:88-130). The default
+    ``-d -2`` maps the reference's all-GPU DataParallel onto the device
+    mesh: denoising patch batches are sharded over the data axis."""
+    from topaz_tpu.parallel.devices import resolve_devices
+
+    devices = resolve_devices(args.device)
+    if len(devices) > 1:
+        print(f"# denoising on {len(devices)} devices", file=sys.stderr)
+
     do_train = (args.even_train_path is not None) or \
                (args.odd_train_path is not None)
     if do_train:
         from topaz_tpu.train.denoise_data import PairedTiles3D
 
         try:
-            denoiser = Denoise3D(args.model)
+            denoiser = Denoise3D(args.model, devices=devices)
         except FileNotFoundError:
-            meta, params = new_denoiser("unet", base_width=args.base_kernel_width,
-                                        dims=3)
-            denoiser = Denoise3D.__new__(Denoise3D)
-            denoiser.meta, denoiser.params = meta, params
-            denoiser.apply_fn = apply_fn_for(meta)
-            denoiser.precision = None
-            denoiser._jit_cache = {}
+            denoiser = Denoise3D.from_arch(
+                "unet", base_width=args.base_kernel_width, dims=3,
+                devices=devices)
 
         data = PairedTiles3D(args.even_train_path, args.odd_train_path,
                              args.crop, args.N_train, args.N_test)
@@ -551,7 +635,7 @@ def denoise3d_main(args):
             print("# Warning: no denoising model will be used", file=sys.stderr)
             return
         print("# Loading model:", args.model, file=sys.stderr)
-        denoiser = Denoise3D(args.model)
+        denoiser = Denoise3D(args.model, devices=devices)
 
     if len(args.volumes) < 1:
         return

@@ -181,12 +181,22 @@ def extract_particles(
     dims: int = 2,
     verbose: bool = False,
     precision=None,
+    device: int = 0,
 ) -> None:
-    """Orchestrate scoring + NMS + output (topaz/extract.py:266-367)."""
+    """Orchestrate scoring + NMS + output (topaz/extract.py:266-367).
+    ``device=-2`` spreads batched scoring over all devices via the mesh."""
     from topaz_tpu.io import coordinates as file_utils
 
     report("Beginning extraction")
     paths = list(paths) if paths else list(stream_inputs(sys.stdin))
+
+    devices = None
+    if device == -2:
+        from topaz_tpu.parallel.devices import resolve_devices
+
+        devices = resolve_devices(device)
+        if batch_size <= 1:
+            batch_size = len(devices)
     stream: Iterable[Tuple[str, np.ndarray]] = score_images(
         model, paths, patch_size=patch_size, batch_size=batch_size,
         precision=precision,
@@ -205,7 +215,7 @@ def extract_particles(
         return _extract_batched(
             paths, model, threshold, radius, batch_size, output,
             per_micrograph, suffix, out_format, up_scale, down_scale,
-            verbose, precision,
+            verbose, precision, devices,
         )
 
     if targets is not None:
@@ -289,14 +299,19 @@ def extract_particles(
 
 def _extract_batched(paths, model, threshold, radius, batch_size, output,
                      per_micrograph, suffix, out_format, up_scale,
-                     down_scale, verbose, precision):
-    """Batched extraction through the device pipeline (pipeline.py)."""
+                     down_scale, verbose, precision, devices=None):
+    """Batched extraction through the device pipeline (pipeline.py),
+    sharded over the mesh's data axis when multiple devices are given."""
     from topaz_tpu.io import coordinates as file_utils
+    from topaz_tpu.parallel.devices import data_mesh_for
     from topaz_tpu.pipeline import MicrographPipeline
 
+    mesh = data_mesh_for(devices, batch_size)
+    if mesh is not None:
+        report(f"Batched scoring sharded over {mesh.shape['data']} devices")
     pipe = MicrographPipeline(model=model, scale=1, radius=radius,
                               threshold=threshold, normalize=False,
-                              precision=precision)
+                              mesh=mesh, precision=precision)
     scale = up_scale / down_scale
 
     f = None

@@ -262,10 +262,19 @@ def train_model(args, output=None):
             header[:2] + ["recon_error"] + header[2:]
         report(f"Generator: units={args.ngf}, size={gen_width}")
 
+    # -d -2: data-parallel over the device mesh (grad psum inserted by XLA)
+    mesh = None
+    if getattr(args, "device", 0) == -2:
+        from topaz_tpu.parallel.devices import data_mesh_for, resolve_devices
+
+        mesh = data_mesh_for(resolve_devices(-2), args.minibatch_size)
+        if mesh is not None:
+            report(f"Data-parallel training over {mesh.shape['data']} devices")
+
     optimizer = make_optimizer(args.learning_rate, "adam")
     step_fn = make_train_step(spec, loss_fn, optimizer, n_pos, l2=args.l2,
                               autoencoder=args.autoencoder,
-                              generator_width=gen_width)
+                              generator_width=gen_width, mesh=mesh)
     state = init_train_state(spec, params, model_state, optimizer, pi_adj,
                              seed=getattr(args, "seed", 0))
 
