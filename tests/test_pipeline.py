@@ -69,3 +69,87 @@ def test_pipeline_with_denoise(tmp_path, rng):
     (path, scores, coords, den), = list(pipe.process([str(p)]))
     assert den.shape == (96, 96)
     assert np.isfinite(den).all()
+
+
+def _exact_per_image_picks(path, radius, threshold, scale=1):
+    """Per-image exact reference flow: [downsample ->] GMM normalize ->
+    dense score -> exact NMS on the unpadded image."""
+    import jax.numpy as jnp
+
+    from topaz_tpu.io.image import load_image
+    from topaz_tpu.models.factory import load_picker
+    from topaz_tpu.models.picker import apply_picker
+    from topaz_tpu.ops.fourier import downsample
+    from topaz_tpu.ops.gmm import norm_fit
+    from topaz_tpu.ops.nms import non_maximum_suppression
+
+    spec, params, state = load_picker("resnet8_u32")
+    img = np.asarray(load_image(path), dtype=np.float32)
+    if scale > 1:
+        img = np.asarray(downsample(img, scale))
+    mu, std, *_ = norm_fit(jnp.asarray(img.ravel()))
+    norm = (img - float(mu)) / float(std)
+    score, _ = apply_picker(spec, params, norm[None], state=state, dense=True)
+    return non_maximum_suppression(np.asarray(score)[0], radius,
+                                   threshold=threshold)
+
+
+def test_masked_bucketing_five_shapes_two_programs(tmp_path, rng):
+    """Five distinct camera geometries fall into <=2 compiled main programs
+    (rounded shape buckets), and the masked-padding pipeline yields picks
+    identical to per-image exact runs (GMM stats and NMS ignore padding)."""
+    from topaz_tpu.pipeline import MicrographPipeline
+
+    shapes = [(120, 128), (128, 122), (126, 128), (96, 120), (160, 128)]
+    paths = []
+    for i, shape in enumerate(shapes):
+        p = tmp_path / f"g{i}.mrc"
+        peaks = [(shape[0] // 3, shape[1] // 3),
+                 (2 * shape[0] // 3, 2 * shape[1] // 3)]
+        _write_micrograph(p, rng, shape, peaks)
+        paths.append(str(p))
+
+    pipe = MicrographPipeline(model="resnet8_u32", scale=1, radius=6,
+                              threshold=1.0, normalize=True, bucket_step=64)
+    results = {path: (s, c) for path, s, c in pipe.process(paths,
+                                                           batch_size=4)}
+    assert pipe.num_programs["main"] <= 2, pipe.num_programs
+    assert pipe.num_programs["prep"] == 0  # no downsampling at scale=1
+
+    assert set(results) == set(paths)
+    for path in paths:
+        s_ref, c_ref = _exact_per_image_picks(path, 6, 1.0)
+        s_got, c_got = results[path]
+        assert len(s_ref) == len(s_got), path
+        np.testing.assert_array_equal(np.sort(c_got, axis=0),
+                                      np.sort(c_ref, axis=0))
+        np.testing.assert_allclose(s_got, s_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_masked_bucketing_with_downsample(tmp_path, rng):
+    """scale>1: per-geometry prep programs downsample BEFORE padding (the
+    FFT must not see padding); near-miss geometries merge into one main
+    program and picks match per-image exact runs."""
+    from topaz_tpu.pipeline import MicrographPipeline
+
+    shapes = [(96, 96), (100, 96)]
+    paths = []
+    for i, shape in enumerate(shapes):
+        p = tmp_path / f"d{i}.mrc"
+        _write_micrograph(p, rng, shape, [(shape[0] // 2, shape[1] // 2)])
+        paths.append(str(p))
+
+    pipe = MicrographPipeline(model="resnet8_u32", scale=2, radius=3,
+                              threshold=1.0, normalize=True, bucket_step=32)
+    results = {path: (s, c) for path, s, c in pipe.process(paths,
+                                                           batch_size=2)}
+    assert pipe.num_programs["main"] == 1, pipe.num_programs
+    assert pipe.num_programs["prep"] == 2  # one tiny FFT per geometry
+
+    for path in paths:
+        s_ref, c_ref = _exact_per_image_picks(path, 3, 1.0, scale=2)
+        s_got, c_got = results[path]
+        assert len(s_ref) == len(s_got), path
+        np.testing.assert_array_equal(np.sort(c_got, axis=0),
+                                      np.sort(c_ref, axis=0))
+        np.testing.assert_allclose(s_got, s_ref, rtol=1e-3, atol=1e-4)

@@ -74,18 +74,31 @@ def gmm_fit(
     scale: float = 1.0,
     tol: float = 1e-3,
     num_iters: int = 100,
+    w: jnp.ndarray = None,
+    n=None,
 ):
     """Fit a shared-variance 2-component GMM with a Beta prior on pi.
 
     Same update equations and termination rule as topaz/stats.py:122-214.
     Returns (logp, mu0, var0, mu1, var1, pi).
+
+    ``w`` (0/1 weights, same size as ``x``) with ``n`` = number of valid
+    pixels restricts the fit to the valid subset — used by the batched
+    pipeline for shape-bucketed padded images, where the padding must not
+    contribute to the sufficient statistics (reference semantics anchor:
+    topaz/stats.py:36-83 always fits the unpadded image).
     """
     x = x.ravel()
-    mu = jnp.mean(x)
+    if w is None:
+        w = jnp.ones_like(x)
+        n = x.size
+    else:
+        w = w.ravel().astype(x.dtype)
+    mu = jnp.sum(x * w) / n
     pi = jnp.asarray(pi, dtype=x.dtype)
 
-    p0 = (x <= split).astype(x.dtype)
-    p1 = 1 - p0
+    p0 = (x <= split).astype(x.dtype) * w
+    p1 = w - p0
 
     def weighted_mean(p):
         s = jnp.sum(p)
@@ -93,19 +106,17 @@ def gmm_fit(
 
     mu0 = weighted_mean(p0)
     mu1 = weighted_mean(p1)
-    var = jnp.mean(p0 * (x - mu0) ** 2 + p1 * (x - mu1) ** 2)
+    var = jnp.sum(p0 * (x - mu0) ** 2 + p1 * (x - mu1) ** 2) / n
 
     log_p0, log_p1, Z = _posteriors(x, mu0, var, mu1, var, pi)
-    logp = scale * jnp.sum(Z) + beta_logpdf(pi, alpha, beta)
-
-    n = x.size
+    logp = scale * jnp.sum(w * Z) + beta_logpdf(pi, alpha, beta)
 
     def cond(s: GmmState):
         return jnp.logical_and(s.it < num_iters, jnp.logical_not(s.done))
 
     def body(s: GmmState):
-        p0 = jnp.exp(s.log_p0 - s.Z)
-        p1 = jnp.exp(s.log_p1 - s.Z)
+        p0 = jnp.exp(s.log_p0 - s.Z) * w
+        p1 = jnp.exp(s.log_p1 - s.Z) * w
 
         s1 = jnp.sum(p1)
         a = alpha + s1
@@ -114,10 +125,10 @@ def gmm_fit(
 
         mu0 = weighted_mean(p0)
         mu1 = weighted_mean(p1)
-        var = jnp.mean(p0 * (x - mu0) ** 2 + p1 * (x - mu1) ** 2)
+        var = jnp.sum(p0 * (x - mu0) ** 2 + p1 * (x - mu1) ** 2) / n
 
         log_p0, log_p1, Z = _posteriors(x, mu0, var, mu1, var, pi)
-        logp = scale * jnp.sum(Z) + beta_logpdf(pi, alpha, beta)
+        logp = scale * jnp.sum(w * Z) + beta_logpdf(pi, alpha, beta)
 
         done = (logp - s.logp_cur) <= tol
         return GmmState(
@@ -160,21 +171,41 @@ def norm_fit(
     beta: float = 1,
     scale: float = 1.0,
     num_iters: int = 100,
+    w: jnp.ndarray = None,
 ):
     """Try all 12 pi inits in parallel, pick the max-logp fit
     (topaz/stats.py:86-119).
 
     Returns (mu, std, pi, logp, mus, stds, pis, logps) where mu/std are the
     *second* (high-intensity) component's parameters, as in the reference.
+
+    With ``w`` (0/1 validity weights) the fit uses only pixels where w==1:
+    the quantile-based initialization, the EM sufficient statistics, and the
+    single-component lane all ignore padding. Used for shape-bucketed
+    batches in the pipeline.
     """
     x = x.ravel().astype(jnp.float32)
     pis = jnp.array(DEFAULT_PIS, dtype=jnp.float32)
-    splits = jnp.quantile(x, 1 - pis)
+    if w is None:
+        n = x.size
+        splits = jnp.quantile(x, 1 - pis)
+    else:
+        w = w.ravel().astype(jnp.float32)
+        n = jnp.sum(w)
+        # masked quantile with numpy's default linear interpolation:
+        # invalid pixels sort to +inf past the n valid entries
+        xs = jnp.sort(jnp.where(w > 0, x, jnp.inf))
+        idx = (1 - pis) * (n - 1)
+        lo = jnp.clip(jnp.floor(idx).astype(jnp.int32), 0, x.size - 1)
+        hi = jnp.clip(jnp.ceil(idx).astype(jnp.int32), 0, x.size - 1)
+        frac = idx - jnp.floor(idx)
+        splits = xs[lo] * (1 - frac) + xs[hi] * frac
 
     # lanes 0..10: 2-component EM, vmapped (lane-masked early exit)
     fit = jax.vmap(
         lambda p, s: gmm_fit(
-            x, p, s, alpha=alpha, beta=beta, scale=scale, num_iters=num_iters
+            x, p, s, alpha=alpha, beta=beta, scale=scale,
+            num_iters=num_iters, w=w, n=n,
         ),
         in_axes=(0, 0),
     )
@@ -182,11 +213,20 @@ def norm_fit(
 
     # lane 11: single-component model (stats.py:104-107); torch's x.var() is
     # unbiased, matched here
-    mu1c = jnp.mean(x)
-    var1c = jnp.var(x) * (x.size / (x.size - 1))
-    logp1c = scale * jnp.sum(
-        -((x - mu1c) ** 2) / 2 / var1c - 0.5 * jnp.log(2 * jnp.pi * var1c)
-    ) + _beta_pdf_at_one(alpha, beta)
+    if w is None:
+        mu1c = jnp.mean(x)
+        var1c = jnp.var(x) * (x.size / (x.size - 1))
+        sum_z1c = jnp.sum(
+            -((x - mu1c) ** 2) / 2 / var1c - 0.5 * jnp.log(2 * jnp.pi * var1c)
+        )
+    else:
+        mu1c = jnp.sum(x * w) / n
+        var1c = jnp.sum(w * (x - mu1c) ** 2) / (n - 1)
+        sum_z1c = jnp.sum(
+            w * (-((x - mu1c) ** 2) / 2 / var1c
+                 - 0.5 * jnp.log(2 * jnp.pi * var1c))
+        )
+    logp1c = scale * sum_z1c + _beta_pdf_at_one(alpha, beta)
 
     logps = jnp.concatenate([logp_g, logp1c[None]])
     mus = jnp.concatenate([mu_g, mu1c[None]])

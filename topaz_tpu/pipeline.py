@@ -1,13 +1,28 @@
 """Batched full pipeline over a device mesh (BASELINE config 5):
 mixed-size micrograph sets -> preprocess + dense scoring + NMS + denoise,
-with same-shape micrographs batched and sharded over the mesh's data axis.
+with micrographs batched and sharded over the mesh's data axis.
 
 The reference has no batched pipeline at all — each micrograph flows
 through Python one at a time with process pools for NMS/normalization
-(SURVEY 2.8). Here micrographs are grouped into shape buckets (cryo-EM
-collections typically contain a handful of distinct camera geometries);
-each bucket is processed as sharded batches under one jit program per
-shape, with a host-side prefetch thread keeping the device fed.
+(SURVEY 2.8). Here micrographs are grouped into *rounded* shape buckets:
+each image is zero-padded up to the next ``bucket_step`` multiple, so
+near-miss camera geometries share one compiled program and batch together.
+Padding is masked out everywhere it could change results:
+
+  * GMM normalization fits only valid pixels (weighted sufficient
+    statistics + masked quantile init, ops/gmm.py; reference anchor
+    topaz/stats.py:36-83 — stats never see padding);
+  * the normalized image is re-zeroed outside the valid region, so dense
+    scoring sees exactly the zero padding the picker's SAME-conv would
+    apply at a true image edge — valid-region scores are bit-equal to the
+    per-image program;
+  * NMS candidates outside the valid region are masked to -inf
+    (topaz/algorithms.py:25-63 only ever sees real pixels).
+
+Fourier-crop downsampling cannot run on padded images (the FFT is global),
+so when ``scale > 1`` a tiny per-geometry prep program downsamples and
+embeds into the bucket on device; the heavy score+NMS+denoise program
+compiles once per bucket. A host-side prefetch thread keeps the device fed.
 """
 
 from __future__ import annotations
@@ -35,9 +50,8 @@ class MicrographPipeline:
         normalize: bool = True,
         mesh=None,
         precision=None,
+        bucket_step: int = 64,
     ):
-        import jax
-
         from topaz_tpu.models.factory import load_picker
 
         self.scale = scale
@@ -47,6 +61,7 @@ class MicrographPipeline:
         self.max_peaks = max_peaks
         self.mesh = mesh
         self.precision = precision
+        self.bucket_step = max(1, int(bucket_step))
         self.spec, self.params, self.state = load_picker(model)
         self.denoiser = None
         if denoise_model is not None:
@@ -55,81 +70,135 @@ class MicrographPipeline:
 
             self.dmeta, self.dparams = load_denoiser(denoise_model)
             self.denoiser = apply_fn_for(self.dmeta)
-        self._fns: Dict = {}
+        self._fns: Dict = {}       # (bucket, batch) -> main program
+        self._prep_fns: Dict = {}  # (raw shape, bucket) -> downsample+embed
 
-    # -- compiled per-shape programs ---------------------------------------
+    @property
+    def num_programs(self) -> Dict[str, int]:
+        """Compiled-program census: 'main' = heavy score+NMS programs (one
+        per bucket x batch), 'prep' = tiny per-geometry downsample FFTs."""
+        return {"main": len(self._fns), "prep": len(self._prep_fns)}
 
-    def _build(self, shape: Tuple[int, int], batch: int):
+    # -- shape bucketing ----------------------------------------------------
+
+    def _ds_shape(self, raw_shape: Tuple[int, int]) -> Tuple[int, int]:
+        """Shape after Fourier-crop downsampling (ops/fourier.py:34-47)."""
+        if self.scale > 1:
+            return (int(raw_shape[0] / self.scale),
+                    int(raw_shape[1] / self.scale))
+        return raw_shape
+
+    def _bucket_for(self, ds_shape: Tuple[int, int]) -> Tuple[int, int]:
+        step = self.bucket_step
+        return (-(-ds_shape[0] // step) * step, -(-ds_shape[1] // step) * step)
+
+    # -- compiled per-bucket programs ---------------------------------------
+
+    def _build(self, bucket: Tuple[int, int], batch: int):
         import jax
         import jax.numpy as jnp
 
         from topaz_tpu.models.picker import apply_picker
-        from topaz_tpu.ops.fourier import downsample
         from topaz_tpu.ops.gmm import norm_fit
-        from topaz_tpu.ops.nms import nms_topk_batched
+        from topaz_tpu.ops.nms import NEG, nms_topk_batched
 
         spec, params, state = self.spec, self.params, self.state
         precision = self.precision
         r, t = self.radius, self.threshold
         # top-k bound: peaks are pairwise > r apart, so a packing bound on
-        # the (downsampled) score map size never truncates
-        H, W = shape
-        sh, sw = (H // self.scale, W // self.scale) if self.scale > 1 else (H, W)
+        # the bucket-shaped score map never truncates
+        bh, bw = bucket
         if self.max_peaks is not None:
             k = self.max_peaks
         else:
-            k = min(sh * sw,
-                    int((sh + r) * (sw + r) / max(np.pi * (r / 2.0) ** 2, 1)) + 16)
-        scale = self.scale
+            k = min(bh * bw,
+                    int((bh + r) * (bw + r) / max(np.pi * (r / 2.0) ** 2, 1)) + 16)
         denoiser = self.denoiser
         dparams = getattr(self, "dparams", None)
-
         normalize = self.normalize
 
-        def fn(raws):  # (B, H, W) — batch-native throughout
-            smalls = downsample(raws, scale) if scale > 1 else raws
+        def fn(padded, valid):  # (B, bh, bw) post-downsample, valid (B, 2)
+            B = padded.shape[0]
+            rows = jnp.arange(bh)[None, :, None]
+            cols = jnp.arange(bw)[None, None, :]
+            mask = (rows < valid[:, 0, None, None]) & \
+                   (cols < valid[:, 1, None, None])
+            maskf = mask.astype(padded.dtype)
             if normalize:
-                B = smalls.shape[0]
-                mu, std, *_ = jax.vmap(norm_fit)(smalls.reshape(B, -1))
-                norms = (smalls - mu[:, None, None]) / std[:, None, None]
+                mu, std, *_ = jax.vmap(
+                    lambda xf, wf: norm_fit(xf, w=wf)
+                )(padded.reshape(B, -1), maskf.reshape(B, -1))
+                # re-zero the padding so the picker's SAME-conv sees exactly
+                # a true image edge
+                norms = (padded - mu[:, None, None]) / std[:, None, None] \
+                    * maskf
             else:
-                # extract-style inputs are already normalized
-                norms = smalls
+                # extract-style inputs are already normalized; padding is
+                # already zero
+                norms = padded
             scores, _ = apply_picker(spec, params, norms, state=state,
                                      dense=True, precision=precision)
+            scores = jnp.where(mask, scores, NEG)
             vals, coords, counts = nms_topk_batched(scores, r, t, k)
             out = (vals, coords, counts)
             if denoiser is not None:
                 # serialize the U-Net over the batch (lax.map) — a batched
                 # whole-image pass would multiply its activation footprint
                 # past HBM for large micrographs
-                def _den_one(raw):
-                    m2, s2 = jnp.mean(raw), jnp.std(raw)
-                    xin = ((raw - m2) / s2)[None, ..., None]
+                def _den_one(args):
+                    raw, m = args
+                    nv = jnp.sum(m)
+                    m2 = jnp.sum(raw * m) / nv
+                    s2 = jnp.sqrt(jnp.sum(m * (raw - m2) ** 2) / nv)
+                    xin = (((raw - m2) / s2) * m)[None, ..., None]
                     y = denoiser(dparams, xin, dims=2,
                                  precision=precision)[0, ..., 0]
                     return y * s2 + m2
 
-                den = jax.lax.map(_den_one, raws)
+                den = jax.lax.map(_den_one, (padded, maskf))
                 out = out + (den,)
             return out
+
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sharding = NamedSharding(self.mesh, P("data"))
-            jitted = jax.jit(fn, in_shardings=(sharding,))
+            jitted = jax.jit(fn, in_shardings=(sharding, sharding))
 
-            def run(batch_arr):
-                return jitted(jax.device_put(batch_arr, sharding))
+            def run(batch_arr, valid):
+                return jitted(jax.device_put(batch_arr, sharding),
+                              jax.device_put(valid, sharding))
 
             return run
         return jax.jit(fn)
 
-    def _fn_for(self, shape: Tuple[int, int], batch: int):
-        key = (shape, batch)
+    def _fn_for(self, bucket: Tuple[int, int], batch: int):
+        key = (bucket, batch)
         if key not in self._fns:
-            self._fns[key] = self._build(shape, batch)
+            self._fns[key] = self._build(bucket, batch)
         return self._fns[key]
+
+    def _prep_for(self, raw_shape: Tuple[int, int], bucket: Tuple[int, int]):
+        """Tiny per-geometry program: Fourier-crop downsample + embed into
+        the zero-filled bucket. The FFT must see the unpadded image."""
+        key = (raw_shape, bucket)
+        if key not in self._prep_fns:
+            import jax
+            import jax.numpy as jnp
+
+            from topaz_tpu.ops.fourier import downsample
+
+            scale = self.scale
+            ds = self._ds_shape(raw_shape)
+
+            @jax.jit
+            def prep(raw):
+                small = downsample(raw, scale, shape=ds)
+                return jnp.zeros(bucket, jnp.float32).at[
+                    : ds[0], : ds[1]].set(small)
+
+            self._prep_fns[key] = prep
+        return self._prep_fns[key]
 
     # -- host-side driver ---------------------------------------------------
 
@@ -137,8 +206,9 @@ class MicrographPipeline:
                 prefetch: int = 2):
         """Process micrograph files; yields
         (path, pick scores, pick coords at the downsampled scale
-        [, denoised image]). Groups by exact shape; pads the final partial
-        batch by repetition."""
+        [, denoised image cropped to its true size]). Groups by rounded
+        shape bucket; pads the final partial batch per bucket by
+        repetition (its results are discarded)."""
         import jax.numpy as jnp
 
         from topaz_tpu.io.image import load_image
@@ -146,24 +216,39 @@ class MicrographPipeline:
         if batch_size is None:
             batch_size = self.mesh.shape["data"] if self.mesh is not None else 1
 
-        # shape buckets, preserving order within a bucket
-        buckets: Dict[Tuple[int, int], List[str]] = defaultdict(list)
+        # bucket by rounded post-downsample shape, preserving order within
+        buckets: Dict[Tuple[int, int], List[Tuple[str, Tuple[int, int]]]] = \
+            defaultdict(list)
         for p in paths:
-            buckets[_image_shape(p)].append(p)
+            raw_shape = _image_shape(p)
+            buckets[self._bucket_for(self._ds_shape(raw_shape))].append(
+                (p, raw_shape))
 
         # background loader keeps the device fed; errors propagate to the
         # consumer instead of hanging it
         def load_batches(out_q):
             try:
-                for shape, bucket in buckets.items():
-                    for start in range(0, len(bucket), batch_size):
-                        chunk = bucket[start : start + batch_size]
-                        imgs = [np.asarray(load_image(p), dtype=np.float32)
-                                for p in chunk]
-                        n_real = len(imgs)
-                        while len(imgs) < batch_size:
-                            imgs.append(imgs[-1])  # pad partial batch
-                        out_q.put((shape, chunk, n_real, np.stack(imgs)))
+                for bucket, items in buckets.items():
+                    for start in range(0, len(items), batch_size):
+                        chunk = items[start : start + batch_size]
+                        raws = [np.asarray(load_image(p), dtype=np.float32)
+                                for p, _ in chunk]
+                        n_real = len(raws)
+                        while len(raws) < batch_size:
+                            raws.append(raws[-1])  # pad partial batch
+                        valid = np.array(
+                            [self._ds_shape(r.shape) for r in raws],
+                            dtype=np.int32)
+                        if self.scale > 1:
+                            payload = raws  # device prep in the consumer
+                        else:
+                            bh, bw = bucket
+                            payload = np.zeros((batch_size, bh, bw),
+                                               np.float32)
+                            for i, r in enumerate(raws):
+                                payload[i, : r.shape[0], : r.shape[1]] = r
+                        out_q.put((bucket, chunk[:n_real], n_real, payload,
+                                   valid))
                 out_q.put(None)
             except BaseException as e:  # noqa: BLE001
                 out_q.put(e)
@@ -180,19 +265,28 @@ class MicrographPipeline:
                 break
             if isinstance(item, BaseException):
                 raise item
-            shape, chunk, n_real, arr = item
-            fn = self._fn_for(shape, len(arr))
-            with stage(f"pipeline/batch{shape}"):
-                out = fn(jnp.asarray(arr))
+            bucket, chunk, n_real, payload, valid = item
+            fn = self._fn_for(bucket, batch_size)
+            with stage(f"pipeline/batch{bucket}"):
+                if self.scale > 1:
+                    smalls = [
+                        self._prep_for(r.shape, bucket)(jnp.asarray(r))
+                        for r in payload
+                    ]
+                    arr = jnp.stack(smalls)
+                else:
+                    arr = jnp.asarray(payload)
+                out = fn(arr, jnp.asarray(valid))
             scores = np.asarray(out[0])
             coords = np.asarray(out[1])
             counts = np.asarray(out[2])
             dens = np.asarray(out[3]) if len(out) > 3 else None
-            for i in range(n_real):
+            for i, (path, _raw_shape) in enumerate(chunk):
                 n = int(counts[i])
-                result = (chunk[i], scores[i, :n], coords[i, :n])
+                result = (path, scores[i, :n], coords[i, :n])
                 if dens is not None:
-                    result = result + (dens[i],)
+                    vh, vw = valid[i]
+                    result = result + (dens[i, :vh, :vw],)
                 yield result
 
 
