@@ -84,13 +84,12 @@ def _wait_for_device(retries: int = 5, delay: float = 10.0):
             time.sleep(delay)
 
 
-def main():
-    _wait_for_device()
-    rng = np.random.default_rng(0)
-    raw_np = rng.normal(0, 1, (4096, 4096)).astype(np.float32)
-    raw = jnp.asarray(raw_np)
+def bench_compute(rng) -> float:
+    """Device-compute throughput: one resident 4k micrograph through
+    preprocess + extract + denoise@4k (round-1 headline, kept comparable)."""
+    raw = jnp.asarray(rng.normal(0, 1, (4096, 4096)).astype(np.float32))
 
-    print("# bench: building pipeline...", file=sys.stderr, flush=True)
+    print("# bench: building compute pipeline...", file=sys.stderr, flush=True)
     extract, denoise = build_pipeline()
 
     # warmup / compile
@@ -99,7 +98,7 @@ def main():
         scores, coords, count = extract(raw)
         den = denoise(raw)
         _ = np.asarray(scores[:1]), np.asarray(den[:1, :1])
-    print(f"# bench: warmup/compile done in {time.time() - t0:.1f}s",
+    print(f"# bench: compute warmup/compile done in {time.time() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
     # timed: N micrographs through the full pipeline; force completion by
@@ -112,20 +111,115 @@ def main():
         picks = np.asarray(coords)
         edge = np.asarray(den[:1, :1])
     elapsed = time.time() - t0
-    per_micrograph = elapsed / N_ITERS
-    throughput = 1.0 / per_micrograph
+    return N_ITERS / elapsed
+
+
+N_PIPELINE_FILES = 32
+PIPELINE_BATCH = 8
+
+
+def bench_pipeline(rng) -> float:
+    """End-to-end system throughput: N distinct 4096x4096 MRC files on
+    disk -> prefetch-threaded load + host Fourier crop (8x) -> device GMM
+    normalize + dense scoring + NMS + U-Net denoise at picking scale ->
+    picks and denoised images fetched to host. Includes all host I/O.
+
+    The host->device link here is a ~15 MB/s relay (an environment
+    artifact; a real v5e host moves GB/s over PCIe), so the pipeline runs
+    the Fourier crop in the loader threads (host_downsample) and ships
+    only the 8x-downsampled pixels — the same bytes-on-the-wire decision a
+    production deployment would make for any constrained ingest link.
+    """
+    import shutil
+    import tempfile
+
+    from topaz_tpu.io import mrc
+    from topaz_tpu.pipeline import MicrographPipeline
+
+    tmpdir = tempfile.mkdtemp(prefix="topaz_bench_")
+    try:
+        print(f"# bench: writing {N_PIPELINE_FILES} 4k micrographs...",
+              file=sys.stderr, flush=True)
+        paths = []
+        w = 96  # plant each particle in a local +-4 sigma window only
+        yy, xx = np.mgrid[-w:w, -w:w].astype(np.float32)
+        blob = 3.0 * np.exp(-(yy**2 + xx**2) / (2 * 24.0**2))
+        for i in range(N_PIPELINE_FILES):
+            x = rng.standard_normal((4096, 4096), dtype=np.float32)
+            for cy, cx in rng.integers(300, 3800, size=(40, 2)):
+                x[cy - w : cy + w, cx - w : cx + w] -= blob
+            p = os.path.join(tmpdir, f"mic{i}.mrc")
+            mrc.write(p, x)
+            paths.append(p)
+
+        pipe = MicrographPipeline(
+            model="resnet8_u32", denoise_model="unet", scale=8, radius=14,
+            threshold=-6.0, normalize=True, host_downsample=True,
+            num_workers=2,  # single host CPU here; more threads just fight the GIL
+        )
+        # warmup/compile on the first batch worth of files
+        t0 = time.time()
+        for _ in pipe.process(paths[:PIPELINE_BATCH],
+                              batch_size=PIPELINE_BATCH):
+            pass
+        print(f"# bench: pipeline warmup/compile done in "
+              f"{time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+
+        t0 = time.time()
+        n_done = 0
+        n_picks = 0
+        for path, scores, coords, den in pipe.process(
+                paths, batch_size=PIPELINE_BATCH):
+            n_done += 1
+            n_picks += len(scores)
+        elapsed = time.time() - t0
+        assert n_done == N_PIPELINE_FILES
+        print(f"# bench: pipeline {n_done} files, {n_picks} picks, "
+              f"{elapsed:.1f}s", file=sys.stderr, flush=True)
+        return n_done / elapsed
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def main():
+    _wait_for_device()
+    rng = np.random.default_rng(0)
+
+    compute_tput = bench_compute(rng)
+    pipeline_tput = bench_pipeline(rng)
 
     vs_baseline = None
+    pipeline_vs_cpu = None
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             base = json.load(f)
-        vs_baseline = throughput / base["throughput_micrographs_per_sec"]
+        vs_baseline = compute_tput / base["throughput_micrographs_per_sec"]
+        # same-work CPU estimate for the pipeline workload: measured
+        # preprocess + scoring + NMS, denoise scaled to picking resolution
+        # (512^2 = 4k^2/64)
+        t = base["timings_sec"]
+        cpu_same_work = (t["preprocess"] + t["dense_score_512"] + t["nms"]
+                         + t["denoise_4k_estimated"] / 64.0)
+        pipeline_vs_cpu = pipeline_tput * cpu_same_work
 
     print(json.dumps({
         "metric": "4kx4k micrographs/sec/chip (preprocess+extract+denoise)",
-        "value": round(throughput, 4),
+        "value": round(compute_tput, 4),
         "unit": "micrographs/sec",
         "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
+        "extra": {
+            "pipeline_end_to_end_mic_per_sec": round(pipeline_tput, 4),
+            "pipeline_workload": (
+                f"{N_PIPELINE_FILES} distinct on-disk 4k MRCs -> threaded "
+                "load + host 8x Fourier crop -> device GMM+score+NMS+"
+                "denoise@512 -> picks+denoised fetched; batch="
+                f"{PIPELINE_BATCH}"),
+            "pipeline_vs_cpu_ref_same_work_est": (
+                round(pipeline_vs_cpu, 1) if pipeline_vs_cpu else None),
+            "note": ("host->device link here is a ~15 MB/s tunnel "
+                     "(environment artifact), hence host-side Fourier crop; "
+                     "compute number is methodology-identical to round 1"),
+        },
     }))
 
 

@@ -45,3 +45,16 @@ def test_lowpass_matches_reference(rng):
     ours = np.asarray(lowpass(x, 2))
     theirs = ref_denoise.lowpass(x, 2)
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_downsample_numpy_matches_device(rng):
+    """Host prefetch-thread downsample is the same arithmetic as the
+    device op (pipeline host_downsample mode)."""
+    from topaz_tpu.ops.fourier import downsample, downsample_numpy
+
+    for shape, factor in [((128, 96), 4), ((100, 100), 3), ((64, 64), 1)]:
+        x = rng.normal(0, 1, shape).astype(np.float32)
+        a = np.asarray(downsample(x, factor))
+        b = downsample_numpy(x, factor)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -153,3 +153,32 @@ def test_masked_bucketing_with_downsample(tmp_path, rng):
         np.testing.assert_array_equal(np.sort(c_got, axis=0),
                                       np.sort(c_ref, axis=0))
         np.testing.assert_allclose(s_got, s_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_host_downsample_matches_device_prep(tmp_path, rng):
+    """host_downsample=True (prefetch-thread numpy FFT, only small images
+    cross the host->device link) picks the same particles as the device
+    prep path."""
+    from topaz_tpu.pipeline import MicrographPipeline
+
+    paths = []
+    for i, shape in enumerate([(96, 96), (100, 96), (96, 96)]):
+        p = tmp_path / f"h{i}.mrc"
+        _write_micrograph(p, rng, shape, [(shape[0] // 2, shape[1] // 2)])
+        paths.append(str(p))
+
+    kw = dict(model="resnet8_u32", scale=2, radius=3, threshold=1.0,
+              normalize=True, bucket_step=32)
+    dev = MicrographPipeline(**kw)
+    host = MicrographPipeline(host_downsample=True, num_workers=2, **kw)
+    res_dev = {p: (s, c) for p, s, c in dev.process(paths, batch_size=2)}
+    res_host = {p: (s, c) for p, s, c in host.process(paths, batch_size=2)}
+    assert host.num_programs["prep"] == 0  # no device-side FFT programs
+
+    for p in paths:
+        s_d, c_d = res_dev[p]
+        s_h, c_h = res_host[p]
+        assert len(s_d) == len(s_h)
+        np.testing.assert_array_equal(np.sort(c_h, axis=0),
+                                      np.sort(c_d, axis=0))
+        np.testing.assert_allclose(s_h, s_d, rtol=1e-3, atol=1e-4)

@@ -31,6 +31,27 @@ def _downsample_shape(x: jnp.ndarray, m: int, n: int) -> jnp.ndarray:
     return jnp.fft.irfft2(F, s=(m, n))
 
 
+def downsample_numpy(x: np.ndarray, factor: float = 1, shape=None) -> np.ndarray:
+    """Host-side twin of :func:`downsample` (same crop/rescale arithmetic,
+    numpy pocketfft). Used by the pipeline's prefetch threads when raw
+    pixels should not cross the host->device link at full resolution;
+    pocketfft releases the GIL, so loader threads scale."""
+    x = np.asarray(x, dtype=np.float32)
+    if shape is None:
+        shape = (int(x.shape[-2] / factor), int(x.shape[-1] / factor))
+    m, n = int(shape[0]), int(shape[1])
+    try:  # scipy's pocketfft keeps float32 and is ~100x faster here
+        from scipy.fft import irfft2, rfft2
+    except ImportError:
+        from numpy.fft import irfft2, rfft2
+    F = rfft2(x)
+    A = F[..., 0 : m // 2, 0 : n // 2 + 1]
+    B = F[..., F.shape[-2] - (m - m // 2) :, 0 : n // 2 + 1]
+    F = np.concatenate([A, B], axis=-2)
+    F *= (n * m) / (x.shape[-2] * x.shape[-1])
+    return irfft2(F, s=(m, n)).astype(np.float32)
+
+
 def downsample(x, factor: float = 1, shape=None):
     """Downsample a 2D array (or batch of them) by Fourier cropping.
 

@@ -51,6 +51,8 @@ class MicrographPipeline:
         mesh=None,
         precision=None,
         bucket_step: int = 64,
+        host_downsample: bool = False,
+        num_workers: int = 4,
     ):
         from topaz_tpu.models.factory import load_picker
 
@@ -62,6 +64,12 @@ class MicrographPipeline:
         self.mesh = mesh
         self.precision = precision
         self.bucket_step = max(1, int(bucket_step))
+        # host_downsample: run the Fourier crop in the prefetch threads
+        # (numpy pocketfft, GIL-free) so only scale^2-fewer pixels cross the
+        # host->device link — the right call when that link, not the chip,
+        # is the bottleneck
+        self.host_downsample = host_downsample
+        self.num_workers = max(1, int(num_workers))
         self.spec, self.params, self.state = load_picker(model)
         self.denoiser = None
         if denoise_model is not None:
@@ -202,16 +210,35 @@ class MicrographPipeline:
 
     # -- host-side driver ---------------------------------------------------
 
+    def _load_one(self, path: str, bucket: Tuple[int, int]):
+        """Read one micrograph; returns either the raw array (device prep
+        will downsample+embed) or the bucket-embedded [downsampled] image
+        when no device-side FFT is needed. Runs in loader worker threads."""
+        from topaz_tpu.io.image import load_image
+
+        raw = np.asarray(load_image(path), dtype=np.float32)
+        if self.scale > 1 and not self.host_downsample:
+            return raw
+        if self.scale > 1:
+            from topaz_tpu.ops.fourier import downsample_numpy
+
+            small = downsample_numpy(raw, self.scale,
+                                     shape=self._ds_shape(raw.shape))
+        else:
+            small = raw
+        out = np.zeros(bucket, np.float32)
+        out[: small.shape[0], : small.shape[1]] = small
+        return out
+
     def process(self, paths: Sequence[str], batch_size: Optional[int] = None,
                 prefetch: int = 2):
         """Process micrograph files; yields
         (path, pick scores, pick coords at the downsampled scale
         [, denoised image cropped to its true size]). Groups by rounded
         shape bucket; pads the final partial batch per bucket by
-        repetition (its results are discarded)."""
+        repetition (its results are discarded). ``num_workers`` loader
+        threads overlap disk reads (and host FFTs) with device compute."""
         import jax.numpy as jnp
-
-        from topaz_tpu.io.image import load_image
 
         if batch_size is None:
             batch_size = self.mesh.shape["data"] if self.mesh is not None else 1
@@ -227,28 +254,43 @@ class MicrographPipeline:
         # background loader keeps the device fed; errors propagate to the
         # consumer instead of hanging it
         def load_batches(out_q):
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
             try:
-                for bucket, items in buckets.items():
-                    for start in range(0, len(items), batch_size):
-                        chunk = items[start : start + batch_size]
-                        raws = [np.asarray(load_image(p), dtype=np.float32)
-                                for p, _ in chunk]
-                        n_real = len(raws)
-                        while len(raws) < batch_size:
-                            raws.append(raws[-1])  # pad partial batch
-                        valid = np.array(
-                            [self._ds_shape(r.shape) for r in raws],
-                            dtype=np.int32)
-                        if self.scale > 1:
-                            payload = raws  # device prep in the consumer
-                        else:
-                            bh, bw = bucket
-                            payload = np.zeros((batch_size, bh, bw),
-                                               np.float32)
-                            for i, r in enumerate(raws):
-                                payload[i, : r.shape[0], : r.shape[1]] = r
-                        out_q.put((bucket, chunk[:n_real], n_real, payload,
-                                   valid))
+                with ThreadPoolExecutor(self.num_workers) as ex:
+                    for bucket, items in buckets.items():
+                        window = batch_size * (prefetch + 1)
+                        futs: deque = deque()
+                        nxt = 0
+
+                        def fill(nxt):
+                            while nxt < len(items) and len(futs) < window:
+                                futs.append(ex.submit(
+                                    self._load_one, items[nxt][0], bucket))
+                                nxt += 1
+                            return nxt
+
+                        nxt = fill(nxt)
+                        for start in range(0, len(items), batch_size):
+                            chunk = items[start : start + batch_size]
+                            loaded = []
+                            for _ in range(len(chunk)):
+                                loaded.append(futs.popleft().result())
+                                nxt = fill(nxt)
+                            n_real = len(loaded)
+                            while len(loaded) < batch_size:
+                                loaded.append(loaded[-1])  # pad partial batch
+                            valid = np.array(
+                                [self._ds_shape(rs) for _, rs in chunk]
+                                + [self._ds_shape(chunk[-1][1])]
+                                * (batch_size - n_real),
+                                dtype=np.int32)
+                            if self.scale > 1 and not self.host_downsample:
+                                payload = loaded  # raws; device prep next
+                            else:
+                                payload = np.stack(loaded)
+                            out_q.put((bucket, chunk, n_real, payload, valid))
                 out_q.put(None)
             except BaseException as e:  # noqa: BLE001
                 out_q.put(e)
@@ -268,7 +310,7 @@ class MicrographPipeline:
             bucket, chunk, n_real, payload, valid = item
             fn = self._fn_for(bucket, batch_size)
             with stage(f"pipeline/batch{bucket}"):
-                if self.scale > 1:
+                if isinstance(payload, list):  # raws; downsample on device
                     smalls = [
                         self._prep_for(r.shape, bucket)(jnp.asarray(r))
                         for r in payload
