@@ -218,3 +218,35 @@ def test_denoise3d_batched_patches_match(tmp_path, rng):
     out4 = den.denoise(vol, patch_size=32, padding=8, batch_size=4,
                        verbose=False)
     np.testing.assert_allclose(out1, out4, rtol=1e-5, atol=1e-5)
+
+
+def test_denoise_cli_downsample(tmp_path, rng):
+    """topaz denoise --downsample k denoises at picking scale: output is
+    the Fourier-cropped size and equals denoising the pre-downsampled
+    image."""
+    import sys
+
+    from topaz_tpu.cli import main as cli_main
+    from topaz_tpu.io import mrc
+    from topaz_tpu.ops.fourier import downsample_numpy
+
+    img = rng.normal(0, 1, (128, 128)).astype(np.float32)
+    mrc.write(str(tmp_path / "m.mrc"), img)
+    small = downsample_numpy(img, 4)
+    mrc.write(str(tmp_path / "pre.mrc"), small)
+
+    for argv in (["denoise", "-m", "fcnn", "--downsample", "4", "-s", "-1",
+                  "-o", str(tmp_path / "out_ds"), str(tmp_path / "m.mrc")],
+                 ["denoise", "-m", "fcnn", "-s", "-1",
+                  "-o", str(tmp_path / "out_pre"), str(tmp_path / "pre.mrc")]):
+        old = sys.argv
+        sys.argv = ["topaz"] + argv
+        try:
+            cli_main.main()
+        finally:
+            sys.argv = old
+
+    a, _, _ = mrc.read(str(tmp_path / "out_ds" / "m.mrc"))
+    b, _, _ = mrc.read(str(tmp_path / "out_pre" / "pre.mrc"))
+    assert a.shape == (32, 32)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -27,6 +27,7 @@ def add_arguments(parser=None):
     parser.add_argument("--preload", action="store_true", help="preload micrographs into RAM")
     parser.add_argument("--holdout", type=float, default=0.1, help="fraction of training micrograph pairs to holdout for validation (default: 0.1)")
 
+    parser.add_argument("--downsample", type=int, default=1, help="Fourier-crop micrographs by this factor and denoise at the reduced (picking) scale — factor^2 less U-Net work; output is downsampled (default: 1, full resolution)")
     parser.add_argument("--lowpass", type=float, default=1, help="lowpass filter micrographs by this amount (in pixels) before denoising (default: no lowpass filtering)")
     parser.add_argument("--gaussian", type=float, default=0, help="Gaussian filter micrographs with this standard deviation (in pixels) before denoising (default: 0)")
     parser.add_argument("--inv-gaussian", type=float, default=0, help="Inverse Gaussian filter micrographs with this standard deviation (in pixels) before denoising (default: 0)")

@@ -381,9 +381,19 @@ def denoise_image(mic: np.ndarray, models: List[Denoise], lowpass: float = 1,
                   cutoff: float = 0, gaus: Optional[float] = None,
                   inv_gaus: Optional[float] = None, deconvolve: bool = False,
                   deconv_patch: int = 1, patch_size: int = -1,
-                  padding: int = 0, normalize: bool = False) -> np.ndarray:
-    """Full single-micrograph pipeline (topaz/denoise.py:382-416)."""
+                  padding: int = 0, normalize: bool = False,
+                  downsample: int = 1) -> np.ndarray:
+    """Full single-micrograph pipeline (topaz/denoise.py:382-416).
+
+    ``downsample > 1`` Fourier-crops the micrograph first and denoises at
+    the reduced (picking) scale — scale^2 less U-Net work; the output is
+    downsampled. TPU-build extension (the reference denoises only at full
+    resolution; its tutorials downsample in a separate preprocess pass)."""
     mic = np.asarray(mic, dtype=np.float32)
+    if downsample > 1:
+        from topaz_tpu.ops.fourier import downsample_numpy
+
+        mic = downsample_numpy(mic, downsample)
     if lowpass > 1:
         mic = np.asarray(lowpass_filter(mic, lowpass))
 
@@ -414,7 +424,8 @@ def denoise_stream(micrographs: List[str], output_path: str, format: str = "mrc"
                    lowpass: float = 1, pixel_cutoff: float = 0,
                    gaus=None, inv_gaus=None, deconvolve: bool = False,
                    deconv_patch: int = 1, patch_size: int = 1024,
-                   padding: int = 500, normalize: bool = False):
+                   padding: int = 500, normalize: bool = False,
+                   downsample: int = 1):
     """Per-micrograph denoise + save (topaz/denoise.py:450-490)."""
     total, count = len(micrographs), 0
     denoised = []
@@ -426,7 +437,8 @@ def denoise_stream(micrographs: List[str], output_path: str, format: str = "mrc"
         out = denoise_image(image, models, lowpass=lowpass, cutoff=pixel_cutoff,
                             gaus=gaus, inv_gaus=inv_gaus, deconvolve=deconvolve,
                             deconv_patch=deconv_patch, patch_size=patch_size,
-                            padding=padding, normalize=normalize)
+                            padding=padding, normalize=normalize,
+                            downsample=downsample)
         denoised.append(out)
         if not output_path:
             sfx = suffix or ".denoised"
@@ -444,16 +456,20 @@ def denoise_stack(path: str, output_path: str, models: List[Denoise],
                   lowpass: float = 1, pixel_cutoff: float = 0, gaus=None,
                   inv_gaus=None, deconvolve: bool = False, deconv_patch: int = 1,
                   patch_size: int = 1024, padding: int = 500,
-                  normalize: bool = False):
+                  normalize: bool = False, downsample: int = 1):
     """Denoise every frame of one MRC stack (topaz/denoise.py:419-447)."""
     stack, header, ext_header = mrc.read(path)
     print("# denoising stack with shape:", stack.shape, file=sys.stderr)
     denoised = np.zeros_like(stack, dtype=np.float32)
     for i in range(len(stack)):
-        denoised[i] = denoise_image(
+        out_i = denoise_image(
             stack[i], models, lowpass=lowpass, cutoff=pixel_cutoff, gaus=gaus,
             inv_gaus=inv_gaus, deconvolve=deconvolve, deconv_patch=deconv_patch,
-            patch_size=patch_size, padding=padding, normalize=normalize)
+            patch_size=patch_size, padding=padding, normalize=normalize,
+            downsample=downsample)
+        if denoised.shape[1:] != out_i.shape:
+            denoised = np.zeros((len(stack),) + out_i.shape, dtype=np.float32)
+        denoised[i] = out_i
         print(f"# {i + 1} of {len(stack)} completed.", file=sys.stderr, end="\r")
     print("", file=sys.stderr)
     print("# writing to", output_path, file=sys.stderr)
@@ -582,14 +598,16 @@ def denoise_main(args):
                              inv_gaus=inv_gaus, deconvolve=args.deconvolve,
                              deconv_patch=args.deconv_patch,
                              patch_size=patch_size,
-                             padding=args.patch_padding, normalize=normalize)
+                             padding=args.patch_padding, normalize=normalize,
+                             downsample=args.downsample)
     return denoise_stream(args.micrographs, args.output, args.format_,
                           args.suffix, models, lowpass=args.lowpass,
                           pixel_cutoff=args.pixel_cutoff, gaus=gaus,
                           inv_gaus=inv_gaus, deconvolve=args.deconvolve,
                           deconv_patch=args.deconv_patch,
                           patch_size=patch_size,
-                          padding=args.patch_padding, normalize=normalize)
+                          padding=args.patch_padding, normalize=normalize,
+                          downsample=args.downsample)
 
 
 def denoise3d_main(args):

@@ -236,6 +236,13 @@ def write(
         )
     else:
         header = header.replace(mode=2)
+        nz, ny, nx = array.shape
+        if (int(header.nx), int(header.ny), int(header.nz)) != (nx, ny, nz):
+            # data was resized (e.g. denoise --downsample): never write a
+            # stale-shape header; updating m* with n* keeps the physical
+            # cell (cella) constant so the voxel spacing rescales correctly
+            header = header.replace(nx=nx, ny=ny, nz=nz,
+                                    mx=nx, my=ny, mz=nz)
 
     f.write(header.tobytes())
     f.write(extended_header)

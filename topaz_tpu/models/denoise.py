@@ -41,6 +41,31 @@ def _conv(x, p, dims=2, precision=None):
     return y + p["b"]
 
 
+def _conv_cat(a, b, p, dims=2, precision=None):
+    """``conv(concat([a, b], -1))`` — identical values either way; the
+    implementation strategy is chosen at trace time by spatial size.
+
+    Kernel-split form (two convs summed, by linearity) avoids
+    materializing the concatenated tensor and measured ~8% faster at 512^2
+    on v5e (a TPU-profiler trace showed ~38% of U-Net device time in
+    copy/reshape/broadcast data movement). At 4096^2, however, it pushes
+    XLA into catastrophic conv layouts (2x padded f32[4096,8,513,64]
+    temps -> 16 GB HBM, OOM), so large images keep the concat form."""
+    area = 1
+    for s in a.shape[1 : 1 + dims]:
+        area *= int(s)
+    if area > 2048 * 2048:
+        return _conv(jnp.concatenate([a, b], axis=-1), p, dims, precision)
+    dn = ("NHWC", "HWIO", "NHWC") if dims == 2 else ("NDHWC", "DHWIO", "NDHWC")
+    ca = a.shape[-1]
+    w = p["w"]
+    ya = lax.conv_general_dilated(a, w[..., :ca, :], (1,) * dims, "SAME",
+                                  dimension_numbers=dn, precision=precision)
+    yb = lax.conv_general_dilated(b, w[..., ca:, :], (1,) * dims, "SAME",
+                                  dimension_numbers=dn, precision=precision)
+    return ya + yb + p["b"]
+
+
 def _lrelu(x):
     return jax.nn.leaky_relu(x, 0.1)
 
@@ -93,13 +118,11 @@ def apply_unet(params: Dict, x: jnp.ndarray, dims: int = 2,
 
     for name, skip in (("dec5", p4), ("dec4", p3), ("dec3", p2), ("dec2", p1)):
         h = _up_nearest(h, _spatial(skip, dims), dims)
-        h = jnp.concatenate([h, skip], axis=-1)
-        h = _lrelu(c(h, name, 0))
+        h = _lrelu(_conv_cat(h, skip, params[name]["0"], dims, precision))
         h = _lrelu(c(h, name, 2))
 
     h = _up_nearest(h, _spatial(x, dims), dims)
-    h = jnp.concatenate([h, x], axis=-1)
-    h = _lrelu(c(h, "dec1", 0))
+    h = _lrelu(_conv_cat(h, x, params["dec1"]["0"], dims, precision))
     h = _lrelu(c(h, "dec1", 2))
     y = c(h, "dec1", 4)
     return x - y if residual else y
@@ -116,13 +139,11 @@ def apply_unet_small(params: Dict, x: jnp.ndarray, dims: int = 2,
 
     for name, skip in (("dec3", p2), ("dec2", p1)):
         h = _up_nearest(h, _spatial(skip, dims), dims)
-        h = jnp.concatenate([h, skip], axis=-1)
-        h = _lrelu(c(h, name, 0))
+        h = _lrelu(_conv_cat(h, skip, params[name]["0"], dims, precision))
         h = _lrelu(c(h, name, 2))
 
     h = _up_nearest(h, _spatial(x, dims), dims)
-    h = jnp.concatenate([h, x], axis=-1)
-    h = _lrelu(c(h, "dec1", 0))
+    h = _lrelu(_conv_cat(h, x, params["dec1"]["0"], dims, precision))
     h = _lrelu(c(h, "dec1", 2))
     return c(h, "dec1", 4)
 
@@ -141,8 +162,7 @@ def apply_unet2(params: Dict, x: jnp.ndarray, dims: int = 2,
 
     for name, skip in (("dec5", p4), ("dec4", p3), ("dec3", p2)):
         h = _up_nearest(h, _spatial(skip, dims), dims)
-        h = jnp.concatenate([h, skip], axis=-1)
-        h = _lrelu(c(h, name, 0))
+        h = _lrelu(_conv_cat(h, skip, params[name]["0"], dims, precision))
         h = _lrelu(c(h, name, 2))
 
     h = _up_nearest(h, _spatial(p1, dims), dims)
