@@ -70,12 +70,12 @@ def add_arguments(parser=None):
     misc = parser.add_argument_group("miscellaneous arguments (optional)")
     misc.add_argument("--test-batch-size", default=1, type=int, help="batch size for calculating test set statistics (default: 1)")
     misc.add_argument("--seed", default=0, type=int, help="random seed for model init and sampling (TPU build addition; default: 0)")
+    misc.add_argument("--dims", type=int, default=2, choices=[2, 3], help="input dimensionality: 2 for micrographs, 3 to train a picker on tomograms with z_coord targets (TPU build addition; the reference trains 3D only through its library API, topaz/model/classifier.py:28-29)")
 
     return parser
 
 
 def main(args):
-    args.dims = 2
     from topaz_tpu.training import train_from_args
 
     train_from_args(args)
