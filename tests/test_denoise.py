@@ -250,3 +250,27 @@ def test_denoise_cli_downsample(tmp_path, rng):
     b, _, _ = mrc.read(str(tmp_path / "out_pre" / "pre.mrc"))
     assert a.shape == (32, 32)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_unblur_filter_gaussian_parity(rng):
+    """estimate_unblur_filter_gaussian matches the reference's torch/scipy
+    fit (topaz/denoise.py:77-127, dead code upstream)."""
+    import torch
+
+    ref_denoise = ref_module("topaz.denoise")
+    from topaz_tpu.ops.filters import estimate_unblur_filter_gaussian
+
+    x = rng.normal(size=(80, 90)).astype(np.float32)
+    # correlate the noise a bit so the fitted sigma is non-degenerate
+    x = x + 0.5 * np.roll(x, 1, axis=0) + 0.5 * np.roll(x, 1, axis=1)
+
+    w_inv, sigma, alpha, cov = estimate_unblur_filter_gaussian(x, width=11)
+    ref_filter, ref_sigma, ref_alpha, ref_cov = \
+        ref_denoise.estimate_unblur_filter_gaussian(torch.from_numpy(x),
+                                                    width=11)
+    np.testing.assert_allclose(cov, ref_cov.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(sigma, float(ref_sigma), rtol=1e-2)
+    np.testing.assert_allclose(alpha, float(ref_alpha), rtol=1e-2)
+    theirs_w = ref_filter.filter.weight.data.numpy()[0, 0]
+    np.testing.assert_allclose(w_inv, theirs_w, rtol=1e-2, atol=1e-4)

@@ -221,3 +221,63 @@ def test_kfold_split_training(tmp_path, rng):
     # heldout-fold evaluation rows present
     assert (log.split == "test").sum() == 1
     assert np.isfinite(log[log.split == "test"].auprc.astype(float)).all()
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_hyperparameter_flags_parity(rng):
+    """The newly surfaced hyperparameters (--entropy-penalty, --ge-momentum,
+    --pu-beta) reproduce the reference trainers at non-default values."""
+    import torch
+
+    ref_methods = ref_module("topaz.methods")
+    import jax.numpy as jnp
+
+    from topaz_tpu.train.methods import init_method_state, make_loss_fn
+
+    scores, labels = _scores_labels(rng)
+    n_pos = int(labels.sum())
+    X = torch.zeros(len(scores))
+    Y = torch.tensor(labels)
+
+    # GE-binomial with entropy penalty
+    model = _FixedModel(scores)
+    optim = torch.optim.SGD([model.scores], lr=0.0)
+    criteria = torch.nn.BCEWithLogitsLoss()
+    trainer = ref_methods.GE_binomial(model, optim, criteria, 0.01,
+                                      slack=1.0, entropy_penalty=0.1)
+    loss, ge, *_ = trainer.step(X, Y)
+    loss_fn, _, _ = make_loss_fn("GE-binomial", 0.01, entropy_penalty=0.1)
+    _, _, m = loss_fn(jnp.asarray(scores), n_pos, init_method_state(0.01))
+    assert np.isclose(float(m["ge_penalty"]), ge, rtol=2e-4, atol=2e-5)
+
+    # GE-KL with running-expectation momentum: two steps so the running
+    # average matters
+    model = _FixedModel(scores)
+    optim = torch.optim.SGD([model.scores], lr=0.0)
+    trainer = ref_methods.GE_KL(model, optim, criteria, 0.01, slack=10.0,
+                                momentum=0.5)
+    trainer.step(X, Y)
+    loss2, ge2, *_ = trainer.step(X, Y)
+    loss_fn, _, _ = make_loss_fn("GE-KL", 0.01, momentum=0.5)
+    st = init_method_state(0.01)
+    _, st, _ = loss_fn(jnp.asarray(scores), n_pos, st)
+    _, _, m2 = loss_fn(jnp.asarray(scores), n_pos, st)
+    assert np.isclose(float(m2["ge_penalty"]), ge2, rtol=2e-4, atol=2e-5)
+
+    # PU with beta clipping engaged
+    model = _FixedModel(scores)
+    optim = torch.optim.SGD([model.scores], lr=0.0)
+    trainer = ref_methods.PU(model, optim, criteria, 0.02, beta=0.5)
+    loss_pu, *_ = trainer.step(X, Y)
+    loss_fn, _, _ = make_loss_fn("PU", 0.02, beta=0.5)
+    _, _, m3 = loss_fn(jnp.asarray(scores), n_pos, init_method_state(0.02))
+    assert np.isclose(float(m3["loss"]), loss_pu, rtol=2e-4, atol=2e-5)
+
+    # CLI parses the new flags with reference defaults
+    from topaz_tpu.cli.commands import train as train_cmd
+
+    args = train_cmd.add_arguments().parse_args(
+        ["--train-images", "x", "--train-targets", "y"])
+    assert args.entropy_penalty == 0.0
+    assert args.ge_momentum == 1.0
+    assert args.pu_beta == 0.0

@@ -87,6 +87,48 @@ def estimate_unblur_filter(x, width: int = 11) -> Tuple[np.ndarray, np.ndarray]:
     return w_inv.astype(np.float32), cov
 
 
+def estimate_unblur_filter_gaussian(x, width: int = 11, s: int = 11):
+    """Gaussian-parameterized whitening filter (topaz/denoise.py:77-127):
+    fit (sigma, alpha) in log space so that correlating the Gaussian
+    kernel with itself best matches the observed autocovariance, then
+    return the inverse of that filter. Dead code upstream (no command
+    calls it) — ported for completeness. The gradient comes from jax.grad
+    instead of the reference's torch-autograd round trip; the
+    2-parameter BFGS stays on host (scipy). Returns
+    (inverse kernel, sigma, alpha, covariance)."""
+    from scipy.optimize import minimize
+
+    cov = spatial_covariance(jnp.asarray(x, jnp.float32), n=width)
+
+    dim = s // 2
+    r = jnp.arange(-dim, dim + 1)
+    d = (r[:, None] ** 2 + r[None, :] ** 2).astype(jnp.float32)
+    p = width // 2
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def loss(params):
+        sigma = jnp.exp(params[0])
+        alpha = jnp.exp(params[1])
+        w = alpha * jnp.exp(-0.5 * d / sigma**2)
+        c_w = lax.conv_general_dilated(
+            w[None, :, :, None], w[:, :, None, None], (1, 1),
+            [(p, p), (p, p)], dimension_numbers=dn)[0, :, :, 0]
+        return jnp.sum((c_w - cov) ** 2)
+
+    val_grad = jax.jit(jax.value_and_grad(loss))
+
+    def fun(params):
+        v, g = val_grad(jnp.asarray(params, jnp.float32))
+        return float(v), np.asarray(g, np.float64)
+
+    result = minimize(fun, np.zeros(2), jac=True)
+    sigma = float(np.exp(result.x[0]))
+    alpha = float(np.exp(result.x[1]))
+    w = gaussian_filter(sigma, s=s) * alpha
+    w_inv = inverse_filter(w)
+    return w_inv.astype(np.float32), sigma, alpha, np.asarray(cov)
+
+
 def correct_spatial_covariance(x, width: int = 11, patch: int = 1):
     """Estimate the whitening filter and apply it, optionally per-patch
     (topaz/denoise.py:129-172)."""

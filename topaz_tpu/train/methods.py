@@ -161,24 +161,34 @@ def pu_loss(score: jnp.ndarray, n_pos: int, pi: float, state: MethodState,
     return backprop_loss, state, metrics
 
 
-def make_loss_fn(method: str, pi: Optional[float], slack: float = -1.0):
+def make_loss_fn(method: str, pi: Optional[float], slack: float = -1.0,
+                 entropy_penalty: float = 0.0, momentum: float = 1.0,
+                 beta: float = 0.0):
     """Map a method name + hyperparameters to (loss_fn, header, split).
 
     Applies the reference's slack defaults (training.py:380-390): 10 for
-    GE-KL, 1 for GE-binomial.
+    GE-KL, 1 for GE-binomial. ``entropy_penalty`` (GE methods,
+    methods.py:80,171), ``momentum`` (GE-KL running expectation,
+    methods.py:170,210-212) and ``beta`` (nnPU clipping threshold,
+    methods.py:260-261) default to the reference's hardcoded values; the
+    CLI surfaces them as flags.
     """
     if method == "PN":
         return (lambda s, n_pos, st: pn_loss(s, n_pos, pi, st)), HEADERS["PN"], "pn"
     if method == "GE-binomial":
         sl = 1.0 if slack < 0 else slack
         return (
-            lambda s, n_pos, st: ge_binomial_loss(s, n_pos, pi, st, slack=sl)
+            lambda s, n_pos, st: ge_binomial_loss(
+                s, n_pos, pi, st, slack=sl, entropy_penalty=entropy_penalty)
         ), HEADERS["GE-binomial"], "pn"
     if method == "GE-KL":
         sl = 10.0 if slack < 0 else slack
         return (
-            lambda s, n_pos, st: ge_kl_loss(s, n_pos, pi, st, slack=sl)
+            lambda s, n_pos, st: ge_kl_loss(
+                s, n_pos, pi, st, slack=sl, momentum=momentum,
+                entropy_penalty=entropy_penalty)
         ), HEADERS["GE-KL"], "pn"
     if method == "PU":
-        return (lambda s, n_pos, st: pu_loss(s, n_pos, pi, st)), HEADERS["PU"], "pu"
+        return (lambda s, n_pos, st: pu_loss(s, n_pos, pi, st, beta=beta)), \
+            HEADERS["PU"], "pu"
     raise ValueError("Invalid method: " + method)

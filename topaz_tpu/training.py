@@ -209,7 +209,11 @@ def train_model(args, output=None):
 
     p_observed = num_positive / total_regions
     method, pi_adj = adjust_method(args.method, pi, p_observed)
-    loss_fn, header, split = make_loss_fn(method, pi_adj, slack=args.slack)
+    loss_fn, header, split = make_loss_fn(
+        method, pi_adj, slack=args.slack,
+        entropy_penalty=getattr(args, "entropy_penalty", 0.0),
+        momentum=getattr(args, "ge_momentum", 1.0),
+        beta=getattr(args, "pu_beta", 0.0))
 
     est_max_prec = p_observed / pi if pi else 1.0
     report("Estimated max precision given pi and p_observed:", est_max_prec)
