@@ -1,0 +1,82 @@
+"""Structural checks on the bundled single-file GUI (no JS engine in this
+environment, so validate the invariants that typically break: every DOM id
+the script references exists, script braces balance, the CLI launcher
+points at the asset)."""
+
+import os
+import re
+from html.parser import HTMLParser
+
+GUI = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "topaz_tpu", "gui", "topaz_tpu_gui.html")
+
+
+class _Collector(HTMLParser):
+    def __init__(self):
+        super().__init__()
+        self.ids = set()
+        self.scripts = []
+        self._in_script = False
+
+    def handle_starttag(self, tag, attrs):
+        d = dict(attrs)
+        if "id" in d:
+            self.ids.add(d["id"])
+        if tag == "script":
+            self._in_script = True
+            self.scripts.append("")
+
+    def handle_endtag(self, tag):
+        if tag == "script":
+            self._in_script = False
+
+    def handle_data(self, data):
+        if self._in_script:
+            self.scripts[-1] += data
+
+
+def _parse():
+    with open(GUI, encoding="utf-8") as f:
+        html = f.read()
+    p = _Collector()
+    p.feed(html)
+    return html, p
+
+
+def test_gui_ids_resolve():
+    _, p = _parse()
+    js = "\n".join(p.scripts)
+    assert js.strip(), "no inline script found"
+    referenced = set(re.findall(r'\$\("([\w-]+)"\)', js))
+    assert referenced, "no $(...) id references found"
+    missing = referenced - p.ids
+    assert not missing, f"JS references missing DOM ids: {sorted(missing)}"
+
+
+def test_gui_script_braces_balance():
+    _, p = _parse()
+    js = "\n".join(p.scripts)
+    # strip strings/comments crudely before counting
+    js = re.sub(r"//[^\n]*", "", js)
+    js = re.sub(r'"(\\.|[^"\\])*"', '""', js)
+    js = re.sub(r"'(\\.|[^'\\])*'", "''", js)
+    js = re.sub(r"`(\\.|[^`\\])*`", "``", js)
+    for o, c in ("{}", "()", "[]"):
+        assert js.count(o) == js.count(c), f"unbalanced {o}{c}"
+
+
+def test_gui_feature_surface():
+    html, p = _parse()
+    # the capabilities the reference GUI serves (annotate, threshold,
+    # import/export, command generation) must be present
+    for feature in ("parseMRC", "importTSV", "importBox", "importStar",
+                    "exp-txt", "exp-box", "exp-star", "threshold",
+                    "save-session", "cmd", "flipy"):
+        assert feature in html, f"GUI lost feature: {feature}"
+
+
+def test_gui_cli_launcher_points_at_asset():
+    from topaz_tpu.cli.commands import gui
+
+    assert os.path.exists(gui.DEFAULT_GUI_PATH)
+    assert gui.add_arguments() is not None

@@ -361,6 +361,10 @@ def train_from_args(args) -> None:
     if args.k_fold > 1 and args.test_images is None:
         _apply_kfold_split(args)
 
+    if args.output is not None:
+        out_dir = os.path.dirname(args.output)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
     output = sys.stdout if args.output is None else open(args.output, "w")
     report("Training...")
     try:
