@@ -56,3 +56,35 @@ def test_normalize_gmm_output_stats(rng):
     assert y.dtype == np.float32
     assert md["std"] > 0
     assert 0 < md["pi"] <= 1
+
+
+def test_norm_fit_hist_matches_exact(rng):
+    """Histogram EM over all pixels tracks the exact fit to within the
+    bin quantization."""
+    import jax.numpy as jnp
+
+    from topaz_tpu.ops.gmm import norm_fit, norm_fit_hist
+
+    x = np.concatenate([rng.normal(0, 1, 30000),
+                        rng.normal(4, 0.6, 70000)]).astype(np.float32)
+    rng.shuffle(x)
+    mu_e, std_e, pi_e, *_ = (float(v) for v in norm_fit(jnp.asarray(x))[:3])
+    mu_h, std_h, pi_h, *_ = (float(v) for v in
+                             norm_fit_hist(jnp.asarray(x))[:3])
+    assert abs(mu_h - mu_e) / std_e < 2e-3
+    assert abs(std_h - std_e) / std_e < 2e-3
+    assert abs(pi_h - pi_e) < 5e-3
+
+
+def test_normalize_bins_path(rng):
+    """normalize(bins=...) output matches the exact GMM normalization."""
+    from topaz_tpu.ops.gmm import normalize
+
+    x = np.concatenate([rng.normal(0, 1, 2000),
+                        rng.normal(4, 0.6, 14000)]).astype(np.float32)
+    rng.shuffle(x)
+    x = x.reshape(128, 125)
+    exact, md_e = normalize(x)
+    binned, md_b = normalize(x, bins=65536)
+    assert md_b["bins"] == 65536
+    np.testing.assert_allclose(binned, exact, rtol=5e-3, atol=5e-3)

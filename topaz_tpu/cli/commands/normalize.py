@@ -14,6 +14,7 @@ def add_arguments(parser=None):
     parser.add_argument("-s", "--scale", default=1, type=int, help="downsample images by this factor (default: 1)")
     parser.add_argument("--affine", action="store_true", help="use standard normalization (x-mu)/std of whole image rather than GMM normalization")
     parser.add_argument("--sample", default=10, type=int, help="pixel sampling factor for model fit (default: 10)")
+    parser.add_argument("--bins", default=0, type=int, help="fit the GMM to a histogram of ALL pixels with this many bins instead of subsampling — faster and lower-variance than --sample for large images; 0 disables (default: 0)")
     parser.add_argument("--niters", default=100, type=int, help="maximum number of EM iterations to run for model fit (default: 100)")
     parser.add_argument("-a", "--alpha", default=900, type=float, help="alpha parameter of the beta distribution prior on the mixing proportion (default: 900)")
     parser.add_argument("-b", "--beta", default=1, type=float, help="beta parameter of the beta distribution prior on the mixing proportion (default: 1)")
@@ -33,5 +34,6 @@ def main(args):
         args.files, args.destdir, scale=args.scale, affine=args.affine,
         num_iters=args.niters, alpha=args.alpha, beta=args.beta,
         sample=args.sample, metadata=args.metadata, formats=formats,
+        bins=args.bins,
         verbose=args.verbose,
     )

@@ -237,6 +237,59 @@ def norm_fit(
     return mus[i], stds[i], pis_out[i], logps[i], mus, stds, pis_out, logps
 
 
+@partial(jax.jit, static_argnames=("bins", "alpha", "beta", "num_iters"))
+def norm_fit_hist(
+    x: jnp.ndarray,
+    bins: int = 65536,
+    alpha: float = 900,
+    beta: float = 1,
+    num_iters: int = 100,
+):
+    """Histogram-accelerated :func:`norm_fit`: bin ALL pixels once (one
+    scatter-add pass), then run the same weighted EM over the bin centers
+    with the counts as weights. Every EM pass touches ``bins`` elements
+    instead of every pixel — ~20x faster at 4k — and unlike the
+    reference's random pixel subsampling (topaz/stats.py:54-58, the
+    ``sample`` flag) it uses the full image, so the only error is value
+    quantization to the bin width. Same 8-tuple return as norm_fit.
+    """
+    x = x.ravel().astype(jnp.float32)
+    n = jnp.asarray(x.size, jnp.float32)
+    lo = jnp.min(x)
+    hi = jnp.max(x)
+    width = jnp.maximum(hi - lo, 1e-30)
+    idx = jnp.clip((((x - lo) / width) * bins).astype(jnp.int32), 0, bins - 1)
+    counts = jnp.zeros(bins, jnp.float32).at[idx].add(1.0)
+    centers = lo + (jnp.arange(bins, dtype=jnp.float32) + 0.5) * (width / bins)
+
+    pis = jnp.array(DEFAULT_PIS, dtype=jnp.float32)
+    # quantile init from the histogram CDF
+    cdf = jnp.cumsum(counts)
+    split_idx = jnp.clip(jnp.searchsorted(cdf, (1 - pis) * n), 0, bins - 1)
+    splits = centers[split_idx]
+
+    fit = jax.vmap(
+        lambda p, s: gmm_fit(centers, p, s, alpha=alpha, beta=beta,
+                             num_iters=num_iters, w=counts, n=n),
+        in_axes=(0, 0),
+    )
+    logp_g, _mu0, _var0, mu_g, var_g, pi_g = fit(pis[:-1], splits[:-1])
+
+    mu1c = jnp.sum(centers * counts) / n
+    var1c = jnp.sum(counts * (centers - mu1c) ** 2) / (n - 1)
+    logp1c = jnp.sum(
+        counts * (-((centers - mu1c) ** 2) / 2 / var1c
+                  - 0.5 * jnp.log(2 * jnp.pi * var1c))
+    ) + _beta_pdf_at_one(alpha, beta)
+
+    logps = jnp.concatenate([logp_g, logp1c[None]])
+    mus = jnp.concatenate([mu_g, mu1c[None]])
+    stds = jnp.sqrt(jnp.concatenate([var_g, var1c[None]]))
+    pis_out = jnp.concatenate([pi_g, jnp.array([1.0], jnp.float32)])
+    i = jnp.argmax(logps)
+    return mus[i], stds[i], pis_out[i], logps[i], mus, stds, pis_out, logps
+
+
 def normalize(
     x,
     alpha: float = 900,
@@ -246,10 +299,13 @@ def normalize(
     method: str = "gmm",
     seed: int = 0,
     verbose: bool = False,
+    bins: int = 0,
 ):
     """Normalize an image by affine or GMM statistics (topaz/stats.py:36-83).
 
-    Returns (normalized float32 array, metadata dict).
+    ``bins > 0`` uses the histogram-EM fast path over ALL pixels instead of
+    the reference's random subsampling (``sample``). Returns
+    (normalized float32 array, metadata dict).
     """
     import numpy as np
 
@@ -260,6 +316,20 @@ def normalize(
         std = float(x.std())
         metadata = {"mu": mu, "std": std, "pi": 1}
         return ((x - mu) / std).astype(np.float32), metadata
+
+    if bins > 0:
+        mu, std, pi, logp, mus, stds, pis, logps = (
+            np.asarray(v) for v in norm_fit_hist(
+                jnp.asarray(x), bins=int(bins), alpha=alpha, beta=beta,
+                num_iters=num_iters,
+            )
+        )
+        mu, std = float(mu), float(std)
+        return ((x - mu) / std).astype(np.float32), {
+            "mu": mu, "std": std, "pi": float(pi), "logp": float(logp),
+            "mus": mus, "stds": stds, "pis": pis, "logps": logps,
+            "alpha": alpha, "beta": beta, "sample": 1, "bins": int(bins),
+        }
 
     x_sample = x
     scale = 1.0

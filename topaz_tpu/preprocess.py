@@ -53,6 +53,7 @@ def normalize_file(
     metadata: bool = False,
     formats: Optional[List[str]] = None,
     seed: int = 0,
+    bins: int = 0,
 ) -> str:
     """Normalize one image file and write outputs (topaz/stats.py:296-335)."""
     formats = formats or ["mrc"]
@@ -67,7 +68,7 @@ def normalize_file(
 
     method = "affine" if affine else "gmm"
     x, md = normalize(x, alpha=alpha, beta=beta, num_iters=num_iters,
-                      method=method, sample=sample, seed=seed)
+                      method=method, sample=sample, seed=seed, bins=bins)
 
     name = os.path.splitext(os.path.basename(path))[0]
     base = os.path.join(dest, name)
@@ -95,6 +96,7 @@ def normalize_images(
     metadata: bool = False,
     formats: Optional[List[str]] = None,
     verbose: bool = False,
+    bins: int = 0,
 ) -> None:
     """Normalize a set of images (topaz/stats.py:338-355)."""
     os.makedirs(dest, exist_ok=True)
@@ -102,7 +104,7 @@ def normalize_images(
         name = normalize_file(
             path, dest, scale=scale, affine=affine, num_iters=num_iters,
             alpha=alpha, beta=beta, sample=sample, metadata=metadata,
-            formats=formats,
+            formats=formats, bins=bins,
         )
         if verbose:
             print("# processed:", name, file=sys.stderr)
