@@ -54,10 +54,13 @@ def normalize_file(
     formats: Optional[List[str]] = None,
     seed: int = 0,
     bins: int = 0,
+    loaded=None,
 ) -> str:
-    """Normalize one image file and write outputs (topaz/stats.py:296-335)."""
+    """Normalize one image file and write outputs (topaz/stats.py:296-335).
+    ``loaded`` lets a prefetch thread hand in the already-read image."""
     formats = formats or ["mrc"]
-    loaded = load_image(path, return_header=True)
+    if loaded is None:
+        loaded = load_image(path, return_header=True)
     image, header, ext_header = loaded
     x = np.asarray(image, dtype=np.float32)
 
@@ -97,14 +100,37 @@ def normalize_images(
     formats: Optional[List[str]] = None,
     verbose: bool = False,
     bins: int = 0,
+    num_workers: int = 2,
 ) -> None:
-    """Normalize a set of images (topaz/stats.py:338-355)."""
+    """Normalize a set of images (topaz/stats.py:338-355).
+
+    The reference fans out to a process pool (stats.py:347-348); here the
+    GMM runs on the accelerator, so the host only needs a small prefetch
+    window of loader threads to keep disk reads off the critical path."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(dest, exist_ok=True)
-    for path in paths:
-        name = normalize_file(
-            path, dest, scale=scale, affine=affine, num_iters=num_iters,
-            alpha=alpha, beta=beta, sample=sample, metadata=metadata,
-            formats=formats, bins=bins,
-        )
-        if verbose:
-            print("# processed:", name, file=sys.stderr)
+    with ThreadPoolExecutor(max(1, num_workers)) as ex:
+        window = max(1, num_workers) + 1
+        futs: deque = deque()
+        nxt = 0
+
+        def fill(nxt):
+            while nxt < len(paths) and len(futs) < window:
+                futs.append(ex.submit(load_image, paths[nxt],
+                                      return_header=True))
+                nxt += 1
+            return nxt
+
+        nxt = fill(nxt)
+        for path in paths:
+            loaded = futs.popleft().result()
+            nxt = fill(nxt)
+            name = normalize_file(
+                path, dest, scale=scale, affine=affine, num_iters=num_iters,
+                alpha=alpha, beta=beta, sample=sample, metadata=metadata,
+                formats=formats, bins=bins, loaded=loaded,
+            )
+            if verbose:
+                print("# processed:", name, file=sys.stderr)
