@@ -14,6 +14,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from topaz_tpu.models.picker import PickerSpec, apply_picker
@@ -127,7 +128,13 @@ def make_train_step(
                          out_shardings=(replicated, replicated))
 
         def run(state, crops):
-            crops = jax.device_put(crops, data_sharding)
+            if jax.process_count() > 1:
+                # multi-host: each process feeds its local shard of the
+                # global batch (SURVEY 2.8 distributed backend)
+                crops = jax.make_array_from_process_local_data(
+                    data_sharding, np.asarray(crops))
+            else:
+                crops = jax.device_put(crops, data_sharding)
             return jitted(state, crops)
 
         return run
