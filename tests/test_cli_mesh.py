@@ -146,3 +146,22 @@ def test_train_dp_mesh(tmp_path, rng, capsys):
     train_rows = log[log.split == "train"]
     assert len(train_rows) == 2
     assert np.isfinite(train_rows.loss.astype(float)).all()
+
+
+def test_segment_mesh_matches_single_device(tmp_path, rng):
+    """topaz segment -d -2: halo-sharded whole-image score maps equal the
+    single-device ones (zero row padding to the shard multiple matches the
+    picker's SAME-conv zero edge, so it is exact)."""
+    from PIL import Image
+
+    img = rng.normal(0, 1, (130, 96)).astype(np.float32)  # 130 % 8 != 0
+    _write_mrc(tmp_path / "s.mrc", img)
+
+    for d, outdir in ((0, "seg0"), (-2, "seg2")):
+        run_cli(["segment", "-m", "resnet8_u32", "-d", d,
+                 "-o", str(tmp_path / outdir), str(tmp_path / "s.mrc")])
+
+    a = np.asarray(Image.open(tmp_path / "seg0" / "s.tiff"))
+    b = np.asarray(Image.open(tmp_path / "seg2" / "s.tiff"))
+    assert a.shape == b.shape == (130, 96)
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)

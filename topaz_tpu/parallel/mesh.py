@@ -85,6 +85,11 @@ def make_halo_dense_scorer(spec, params, state, mesh: Mesh, precision=None):
     n_shards = mesh.shape[axis]
 
     def shard_fn(block):  # block: (H/n, W) on each device
+        if block.shape[0] < halo:
+            raise ValueError(
+                f"halo-sharded scoring needs >= {halo} rows per shard "
+                f"(receptive field {spec.width}), got {block.shape[0]}; "
+                f"use fewer 'space' shards for this image")
         # shard i receives the bottom rows of shard i-1 (its top halo) and
         # the top rows of shard i+1 (its bottom halo); the ring wraparound
         # at the outer edges is zeroed to restore open boundaries
