@@ -165,3 +165,55 @@ def test_segment_mesh_matches_single_device(tmp_path, rng):
     b = np.asarray(Image.open(tmp_path / "seg2" / "s.tiff"))
     assert a.shape == b.shape == (130, 96)
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
+def test_denoise3d_whole_volume_halo(tmp_path, rng):
+    """topaz denoise3d -s -1 -d -2: whole-volume denoising z-sharded over
+    the mesh tracks the single-device whole-volume result."""
+    from topaz_tpu.io import mrc
+    from topaz_tpu.models.denoise_factory import new_denoiser, save_denoiser
+
+    meta, params = new_denoiser("unet", nf=4, base_width=7, dims=3, seed=3)
+    model_path = tmp_path / "tiny3d.npz"
+    save_denoiser(str(model_path), meta, params)
+    vol = rng.normal(0, 1, (64, 48, 48)).astype(np.float32)
+    _write_mrc(tmp_path / "vol.mrc", vol)
+
+    for d, outdir in ((0, "w0"), (-2, "w2")):
+        os.makedirs(tmp_path / outdir, exist_ok=True)
+        run_cli(["denoise3d", "-m", str(model_path), "-s", "-1",
+                 "-d", d, "-o", str(tmp_path / outdir),
+                 str(tmp_path / "vol.mrc")])
+    y0, _, _ = mrc.read(str(tmp_path / "w0" / "vol.mrc"))
+    y2, _, _ = mrc.read(str(tmp_path / "w2" / "vol.mrc"))
+    assert y2.shape == y0.shape
+    assert np.corrcoef(y0.ravel(), y2.ravel())[0, 1] > 0.95
+
+
+def test_extract_batched_per_micrograph_star(tmp_path, rng):
+    """Batched mesh extraction with --per-micrograph --format star writes
+    one star file per micrograph with the same picks as the single path."""
+    paths = []
+    for i in range(3):
+        img = rng.normal(0, 1, (96, 96)).astype(np.float32)
+        yy, xx = np.mgrid[0:96, 0:96]
+        for cy, cx in rng.integers(20, 76, size=(2, 2)):
+            img -= 3.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 18.0)
+        p = tmp_path / f"pm{i}.mrc"
+        _write_mrc(p, img)
+        paths.append(str(p))
+
+    outdir = tmp_path / "coords"
+    os.makedirs(outdir, exist_ok=True)
+    run_cli(["extract", "-m", "resnet8_u32", "-r", "6", "-t", "0",
+             "--batch-size", "4", "-d", "-2", "--per-micrograph",
+             "--format", "star", "-o", str(outdir)] + paths)
+    from topaz_tpu.io.star import parse
+
+    total = 0
+    for i in range(3):
+        with open(outdir / f"pm{i}.star") as f:
+            table = parse(f)
+        assert {"CoordinateX", "CoordinateY"} <= set(table.columns)
+        total += len(table)
+    assert total >= 3

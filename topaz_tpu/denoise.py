@@ -70,23 +70,25 @@ class Denoise:
         return cls(meta=meta, params=params, precision=precision,
                    devices=devices)
 
-    def _space_mesh(self):
-        if "smesh" not in self._jit_cache:
-            from topaz_tpu.parallel.devices import space_mesh_for
+    # a shard block (plus its aprons) must survive the deepest U-Net's
+    # five 2x pooling levels, so never shard below this many leading rows
+    _MIN_HALO_BLOCK = 32
 
-            self._jit_cache["smesh"] = space_mesh_for(self.devices)
-        return self._jit_cache["smesh"]
-
-    def _apply_halo(self, x: np.ndarray) -> np.ndarray:
+    def _apply_halo(self, x: np.ndarray):
         """Whole-image denoising with rows (or z-slabs for 3D) sharded over
-        the 'space' mesh axis; ppermute halo exchange + global-stat psum
-        (parallel/mesh.py:122-181)."""
+        a 'space' mesh; ppermute halo exchange + global-stat psum
+        (parallel/mesh.py:122-181). Shrinks the shard count for small
+        images; returns None (caller falls back to one device) when even
+        two adequate shards don't fit."""
         import jax.numpy as jnp
 
-        from topaz_tpu.parallel.mesh import make_halo_denoiser
+        from topaz_tpu.parallel.mesh import make_halo_denoiser, make_mesh
 
-        mesh = self._space_mesh()
-        n = mesh.shape["space"]
+        if self.devices is None or len(self.devices) < 2:
+            return None
+        n = min(len(self.devices), max(1, x.shape[0] // self._MIN_HALO_BLOCK))
+        if n < 2:
+            return None
         pad = (-x.shape[0]) % n
         if pad:
             width = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
@@ -94,8 +96,9 @@ class Denoise:
         else:
             xp = x
         halo = max(1, min(256, xp.shape[0] // n))
-        key = ("halo", xp.shape, halo)
+        key = ("halo", xp.shape, halo, n)
         if key not in self._jit_cache:
+            mesh = make_mesh(n_data=1, n_space=n, devices=self.devices[:n])
             self._jit_cache[key] = make_halo_denoiser(
                 self.meta, self.params, mesh, halo=halo,
                 precision=self.precision)
@@ -108,8 +111,10 @@ class Denoise:
         import jax
         import jax.numpy as jnp
 
-        if x.ndim == self.dims and self._space_mesh() is not None:
-            return self._apply_halo(x)
+        if x.ndim == self.dims:
+            y = self._apply_halo(x)
+            if y is not None:
+                return y
 
         key = x.shape
         if key not in self._jit_cache:
