@@ -174,3 +174,61 @@ def test_scripts_train_test_split(tmp_path):
     assert len(test_imgs) == 2 and len(train_imgs) == 3
     train_t = pd.read_csv(tmp_path / "targets_train.txt", sep="\t")
     assert set(train_t.image_name) == set(train_imgs.image_name)
+
+
+def test_relion_pick_wrapper_end_to_end(tmp_path, rng):
+    """relion_run_topaz/run_topaz_pick.py drives the real CLI end-to-end:
+    star-listed micrographs -> preprocess -> extract -> convert -> RELION
+    output nodes + per-micrograph pick star files."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from topaz_tpu.io import mrc, star
+
+    mic_dir = tmp_path / "Micrographs"
+    mic_dir.mkdir()
+    yy, xx = np.mgrid[0:256, 0:256]
+    paths = []
+    for i in range(2):
+        img = rng.normal(0, 1, (256, 256)).astype(np.float32)
+        for cy, cx in rng.integers(40, 216, size=(4, 2)):
+            img -= 3.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 32.0)
+        p = mic_dir / f"mic{i}.mrc"
+        mrc.write(str(p), img)
+        paths.append(str(p))
+
+    star_path = tmp_path / "micrographs.star"
+    with open(star_path, "w") as f:
+        f.write("data_\n\nloop_\n_rlnMicrographName #1\n")
+        for p in paths:
+            f.write(p + "\n")
+
+    out = tmp_path / "External" / "job001"
+    out.mkdir(parents=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "relion_run_topaz",
+                                      "run_topaz_pick.py"),
+         "-i", str(star_path), "-o", str(out), "-m", "resnet8_u32",
+         "-scale", "4", "-r", "3", "--pickthreshold", "0"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert (out / "RELION_JOB_EXIT_SUCCESS").exists()
+    assert (out / "RELION_OUTPUT_NODES.star").exists()
+
+    n_picks = 0
+    for i in range(2):
+        pick_star = out / "Micrographs" / f"mic{i}_topazpicks.star"
+        assert pick_star.exists(), list(out.rglob("*"))
+        with open(pick_star) as f:
+            table = star.parse(f)
+        assert {"CoordinateX", "CoordinateY"} <= set(table.columns)
+        # coordinates were upscaled back to the raw pixel grid
+        assert (table["CoordinateX"].astype(float) <= 256).all()
+        n_picks += len(table)
+    assert n_picks >= 4
