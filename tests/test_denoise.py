@@ -274,3 +274,24 @@ def test_unblur_filter_gaussian_parity(rng):
     np.testing.assert_allclose(alpha, float(ref_alpha), rtol=1e-2)
     theirs_w = ref_filter.filter.weight.data.numpy()[0, 0]
     np.testing.assert_allclose(w_inv, theirs_w, rtol=1e-2, atol=1e-4)
+
+
+def test_denoise_stack_batched_matches_per_frame(tmp_path, rng):
+    """Batched stack fast path equals the per-frame pipeline."""
+    from topaz_tpu.denoise import Denoise, denoise_image, denoise_stack
+    from topaz_tpu.io import mrc
+
+    stack = rng.normal(0, 2, (6, 96, 96)).astype(np.float32)
+    src = tmp_path / "stack.mrcs"
+    mrc.write(str(src), stack)
+
+    model = Denoise("fcnn")
+    out = denoise_stack(str(src), str(tmp_path / "den.mrcs"), [model],
+                        patch_size=-1)
+    assert out.shape == stack.shape
+    for i in range(len(stack)):
+        ref = denoise_image(stack[i], [model], patch_size=-1)
+        np.testing.assert_allclose(out[i], ref, rtol=1e-4, atol=1e-4)
+    # written file round-trips
+    written, _, _ = mrc.read(str(tmp_path / "den.mrcs"))
+    np.testing.assert_allclose(written, out, rtol=1e-6, atol=1e-6)

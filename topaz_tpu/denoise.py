@@ -154,6 +154,31 @@ class Denoise:
         return (self.denoise_patches(x, patch_size, padding=padding)
                 if use_patch else self._apply(x))
 
+    def denoise_batch(self, frames: np.ndarray) -> np.ndarray:
+        """Denoise a (B, H, W) batch of same-shape frames in one program
+        with per-frame statistics — TPU-build extension used by the stack
+        driver to amortize dispatch over movie frames."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("fbatch",) + frames.shape
+        if key not in self._jit_cache:
+            dims = self.dims
+
+            @jax.jit
+            def fn(params, xb):
+                axes = tuple(range(1, 1 + dims))
+                mu = jnp.mean(xb, axis=axes, keepdims=True)
+                std = jnp.std(xb, axis=axes, keepdims=True)
+                y = self.apply_fn(params, ((xb - mu) / std)[..., None],
+                                  dims=dims,
+                                  precision=self.precision)[..., 0]
+                return y * std + mu
+
+            self._jit_cache[key] = fn
+        return np.asarray(self._jit_cache[key](self.params,
+                                               jnp.asarray(frames)))
+
     def train(self, train_sampler, val_sampler, **kw):
         self.params = train_denoiser(self.meta, self.params, train_sampler,
                                      val_sampler, dims=self.dims, **kw)
@@ -462,9 +487,47 @@ def denoise_stack(path: str, output_path: str, models: List[Denoise],
                   inv_gaus=None, deconvolve: bool = False, deconv_patch: int = 1,
                   patch_size: int = 1024, padding: int = 500,
                   normalize: bool = False, downsample: int = 1):
-    """Denoise every frame of one MRC stack (topaz/denoise.py:419-447)."""
+    """Denoise every frame of one MRC stack (topaz/denoise.py:419-447).
+    When the per-frame pipeline is just normalize->model->denormalize
+    (no filters, no patching), frames are batched through one program."""
     stack, header, ext_header = mrc.read(path)
     print("# denoising stack with shape:", stack.shape, file=sys.stderr)
+
+    H, W = stack.shape[-2:]
+    s = patch_size + padding
+    use_patch = patch_size > 0 and (s < H or s < W)
+    trivial_filters = (lowpass <= 1 and pixel_cutoff <= 0 and gaus is None
+                       and inv_gaus is None and not deconvolve
+                       and downsample == 1)
+    if trivial_filters and not use_patch and len(models) == 1 \
+            and len(stack) > 1:
+        model = models[0]
+        denoised = np.zeros_like(stack, dtype=np.float32)
+        B = 8
+        for start in range(0, len(stack), B):
+            chunk = np.asarray(stack[start : start + B], dtype=np.float32)
+            n_real = len(chunk)
+            if n_real < B and start > 0:  # reuse the compiled full batch
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], B - n_real, axis=0)])
+            mu = chunk.mean(axis=(1, 2), keepdims=True)
+            std = chunk.std(axis=(1, 2), keepdims=True)
+            out = model.denoise_batch((chunk - mu) / std)
+            if normalize:
+                m2 = out.mean(axis=(1, 2), keepdims=True)
+                s2 = out.std(axis=(1, 2), keepdims=True)
+                out = (out - m2) / s2
+            else:
+                out = out * std + mu
+            denoised[start : start + n_real] = out[:n_real]
+            print(f"# {min(start + n_real, len(stack))} of {len(stack)} "
+                  f"completed.", file=sys.stderr, end="\r")
+        print("", file=sys.stderr)
+        print("# writing to", output_path, file=sys.stderr)
+        mrc.write(output_path, denoised, header=header,
+                  extended_header=ext_header)
+        return denoised
+
     denoised = np.zeros_like(stack, dtype=np.float32)
     for i in range(len(stack)):
         out_i = denoise_image(
