@@ -1,0 +1,101 @@
+"""Edge cases across the CLI surface: empty pick sets, images smaller
+than a bucket, odd sizes through the downsample/denoise paths."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+
+def run_cli(argv):
+    from topaz_tpu.cli import main
+
+    old = sys.argv
+    sys.argv = ["topaz"] + [str(a) for a in argv]
+    try:
+        main.main()
+    finally:
+        sys.argv = old
+
+
+def _write_mrc(path, arr):
+    from topaz_tpu.io import mrc
+
+    mrc.write(str(path), np.asarray(arr, dtype=np.float32))
+
+
+def test_extract_no_picks_above_threshold(tmp_path, rng):
+    """A featureless micrograph with an impossible threshold produces a
+    valid empty table through both the single and batched paths."""
+    img = rng.normal(0, 0.01, (96, 96)).astype(np.float32)
+    _write_mrc(tmp_path / "flat.mrc", img)
+
+    for tag, extra in (("single", []), ("batched", ["--batch-size", "4"])):
+        out = tmp_path / f"{tag}.txt"
+        run_cli(["extract", "-m", "resnet8_u32", "-r", "6", "-t", "999",
+                 "-o", str(out)] + extra + [str(tmp_path / "flat.mrc")])
+        table = pd.read_csv(out, sep="\t")
+        assert list(table.columns) == ["image_name", "x_coord", "y_coord",
+                                       "score"]
+        assert len(table) == 0
+
+
+def test_pipeline_image_smaller_than_bucket(tmp_path, rng):
+    """An image smaller than bucket_step pads up and still picks
+    correctly (mask keeps GMM/NMS on the valid region)."""
+    from topaz_tpu.pipeline import MicrographPipeline
+
+    img = rng.normal(0, 1, (40, 56)).astype(np.float32)
+    yy, xx = np.mgrid[0:40, 0:56]
+    img -= 4.0 * np.exp(-((yy - 20) ** 2 + (xx - 28) ** 2) / 8.0)
+    _write_mrc(tmp_path / "tiny.mrc", img)
+
+    pipe = MicrographPipeline(model="resnet8_u32", scale=1, radius=4,
+                              threshold=1.0, normalize=True, bucket_step=64)
+    (path, scores, coords), = list(pipe.process([str(tmp_path / "tiny.mrc")]))
+    assert len(scores) >= 1
+    assert (coords[:, 0] < 56).all() and (coords[:, 1] < 40).all()
+    # the planted particle is the top pick
+    assert abs(int(coords[0, 0]) - 28) <= 2 and abs(int(coords[0, 1]) - 20) <= 2
+
+
+def test_denoise_downsample_odd_size(tmp_path, rng):
+    """--downsample on an odd-sized micrograph: output is the Fourier-crop
+    size and finite."""
+    from topaz_tpu.io import mrc
+
+    img = rng.normal(0, 1, (101, 77)).astype(np.float32)
+    _write_mrc(tmp_path / "odd.mrc", img)
+    os.makedirs(tmp_path / "out", exist_ok=True)
+    run_cli(["denoise", "-m", "fcnn", "--downsample", "3", "-s", "-1",
+             "-o", str(tmp_path / "out"), str(tmp_path / "odd.mrc")])
+    y, _, _ = mrc.read(str(tmp_path / "out" / "odd.mrc"))
+    assert y.shape == (33, 25)
+    assert np.isfinite(y).all()
+
+
+def test_segment_small_image_falls_back(tmp_path, rng):
+    """segment -d -2 on an image too small for two halo shards silently
+    uses one device."""
+    from PIL import Image
+
+    img = rng.normal(0, 1, (48, 48)).astype(np.float32)
+    _write_mrc(tmp_path / "sm.mrc", img)
+    run_cli(["segment", "-m", "resnet8_u32", "-d", "-2",
+             "-o", str(tmp_path / "seg"), str(tmp_path / "sm.mrc")])
+    a = np.asarray(Image.open(tmp_path / "seg" / "sm.tiff"))
+    assert a.shape == (48, 48)
+    assert np.isfinite(a).all()
+
+
+def test_convert_empty_after_threshold(tmp_path):
+    """convert -t on a table where nothing survives writes a valid empty
+    file."""
+    src = tmp_path / "p.txt"
+    pd.DataFrame({"image_name": ["a"], "x_coord": [5], "y_coord": [6],
+                  "score": [-3.0]}).to_csv(src, sep="\t", index=False)
+    dst = tmp_path / "o.txt"
+    run_cli(["convert", "-t", "100", "-o", str(dst), str(src)])
+    table = pd.read_csv(dst, sep="\t")
+    assert len(table) == 0
