@@ -167,3 +167,81 @@ def test_cli_extract_on_score_map(tmp_path, rng):
     assert len(picks) == 2
     assert set(zip(picks.x_coord, picks.y_coord)) == {(12, 10), (50, 40)}
     assert picks.score.iloc[0] > picks.score.iloc[1]
+
+
+def _cli(argv):
+    from topaz_tpu.cli import main
+
+    old = sys.argv
+    sys.argv = ["topaz"] + [str(a) for a in argv]
+    try:
+        main.main()
+    finally:
+        sys.argv = old
+
+
+def test_precision_recall_curve_cli_runs(tmp_path, capsys):
+    preds = pd.DataFrame({
+        "image_name": ["m0"] * 4,
+        "x_coord": [10, 30, 50, 70], "y_coord": [10, 30, 50, 70],
+        "score": [4.0, 3.0, 2.0, 1.0]})
+    targets = pd.DataFrame({
+        "image_name": ["m0"] * 3,
+        "x_coord": [11, 29, 90], "y_coord": [9, 31, 90]})
+    preds.to_csv(tmp_path / "pred.txt", sep="\t", index=False)
+    targets.to_csv(tmp_path / "targ.txt", sep="\t", index=False)
+    _cli(["precision_recall_curve", "-r", "5",
+          "--predicted", str(tmp_path / "pred.txt"),
+          "--targets", str(tmp_path / "targ.txt")])
+    out = capsys.readouterr().out
+    # TSV curve rows plus the final auprc line (reference stdout contract)
+    assert "precision" in out and "auprc" in out
+
+
+def test_preprocess_cli_runs(tmp_path, rng):
+    from topaz_tpu.io import mrc
+
+    x = rng.normal(5, 3, (64, 64)).astype(np.float32)
+    mrc.write(str(tmp_path / "raw.mrc"), x)
+    _cli(["preprocess", "-s", "2", "--metadata",
+          "-o", str(tmp_path / "proc"), str(tmp_path / "raw.mrc")])
+    y, _, _ = mrc.read(str(tmp_path / "proc" / "raw.mrc"))
+    assert y.shape == (32, 32)
+    assert os.path.exists(tmp_path / "proc" / "raw.metadata.json")
+
+
+def test_particle_stack_cli_runs(tmp_path, rng):
+    from topaz_tpu.io import mrc
+
+    x = rng.normal(0, 1, (64, 64)).astype(np.float32)
+    mrc.write(str(tmp_path / "m0.mrc"), x)
+    pd.DataFrame({"image_name": ["m0", "m0"], "x_coord": [20, 40],
+                  "y_coord": [20, 40], "score": [2.0, 3.0]}).to_csv(
+        tmp_path / "parts.txt", sep="\t", index=False)
+    _cli(["particle_stack", str(tmp_path / "parts.txt"),
+          "-o", str(tmp_path / "stack.mrcs"), "--size", "16",
+          "--image-root", str(tmp_path)])
+    stack, _, _ = mrc.read(str(tmp_path / "stack.mrcs"))
+    assert stack.shape == (2, 16, 16)
+    assert os.path.exists(tmp_path / "stack.star")
+
+
+def test_train_test_split_cli_runs(tmp_path, rng):
+    from topaz_tpu.io import mrc
+
+    img_dir = tmp_path / "mics"
+    img_dir.mkdir()
+    rows = []
+    for i in range(6):
+        mrc.write(str(img_dir / f"m{i}.mrc"),
+                  rng.normal(0, 1, (32, 32)).astype(np.float32))
+        rows.append({"image_name": f"m{i}", "x_coord": 10, "y_coord": 10})
+    parts = tmp_path / "parts.txt"
+    pd.DataFrame(rows).to_csv(parts, sep="\t", index=False)
+    _cli(["train_test_split", "-n", "2", "--image-dir", str(img_dir),
+          str(parts)])
+    for suffix in ("_train.txt", "_test.txt"):
+        assert os.path.exists(str(parts).replace(".txt", suffix)), suffix
+    # image lists are written next to the particle file (reference naming)
+    for name in ("image_list_train.txt", "image_list_test.txt"):
+        assert os.path.exists(tmp_path / name), name
