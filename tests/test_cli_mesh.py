@@ -217,3 +217,40 @@ def test_extract_batched_per_micrograph_star(tmp_path, rng):
         assert {"CoordinateX", "CoordinateY"} <= set(table.columns)
         total += len(table)
     assert total >= 3
+
+
+def test_denoise3d_training_mesh(tmp_path, rng):
+    """topaz denoise3d training with -d -2 shards noise2noise batches over
+    the data axis and produces a usable model (DataParallel-train analog,
+    topaz/commands/denoise3d.py:103)."""
+    import types
+
+    from topaz_tpu.denoise import denoise3d_main
+    from topaz_tpu.io import mrc
+
+    base = rng.normal(size=(96, 96, 96)).astype(np.float32)
+    mrc.write(str(tmp_path / "even.mrc"),
+              base + rng.normal(0, 0.5, base.shape).astype(np.float32))
+    mrc.write(str(tmp_path / "odd.mrc"),
+              base + rng.normal(0, 0.5, base.shape).astype(np.float32))
+
+    args = types.SimpleNamespace(
+        volumes=[], output="", suffix="", model="none",
+        even_train_path=str(tmp_path / "even.mrc"),
+        odd_train_path=str(tmp_path / "odd.mrc"),
+        N_train=16, N_test=8, crop=32, base_kernel_width=7,
+        optim="adagrad", lr=0.01, criteria="L2", momentum=0.8,
+        batch_size=8, num_epochs=2, weight_decay=0,
+        save_interval=2, save_prefix=str(tmp_path / "md"),
+        num_workers=1, num_threads=0, gaussian=0,
+        patch_size=96, patch_padding=48, device=-2,
+    )
+    denoise3d_main(args)
+    import glob
+
+    ckpts = glob.glob(str(tmp_path / "md_epoch*.npz"))
+    assert ckpts, "no denoiser checkpoints written"
+    from topaz_tpu.models.denoise_factory import load_denoiser
+
+    meta, params = load_denoiser(ckpts[0])
+    assert meta["dims"] == 3

@@ -181,7 +181,8 @@ class Denoise:
 
     def train(self, train_sampler, val_sampler, **kw):
         self.params = train_denoiser(self.meta, self.params, train_sampler,
-                                     val_sampler, dims=self.dims, **kw)
+                                     val_sampler, dims=self.dims,
+                                     devices=self.devices, **kw)
         self._jit_cache.clear()  # compiled programs captured the old params
 
 
@@ -295,7 +296,7 @@ def train_denoiser(meta, params, train_sampler, val_sampler, loss_fn: str = "L2"
                    verbose: bool = True, save_best: bool = False,
                    save_interval: Optional[int] = None,
                    save_prefix: Optional[str] = None, dims: int = 2,
-                   precision=None):
+                   precision=None, devices=None):
     import time
     import datetime
 
@@ -303,7 +304,13 @@ def train_denoiser(meta, params, train_sampler, val_sampler, loss_fn: str = "L2"
     import jax.numpy as jnp
     import optax
 
+    from topaz_tpu.parallel.devices import data_mesh_for
     from topaz_tpu.train.trainer import make_optimizer
+
+    # noise2noise training batches sharded over the mesh's data axis —
+    # the reference wraps the model in DataParallel BEFORE training
+    # (topaz/commands/denoise3d.py:103); gradients psum over devices
+    mesh = data_mesh_for(devices, batch_size)
 
     output, log = sys.stdout, sys.stderr
     digits = int(np.ceil(np.log10(max(num_epochs, 2))))
@@ -350,6 +357,21 @@ def train_denoiser(meta, params, train_sampler, val_sampler, loss_fn: str = "L2"
 
     eval_loss = jax.jit(loss_of)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        print(f"# training sharded over {mesh.shape['data']} devices",
+              file=log)
+        _dshard = NamedSharding(mesh, P("data"))
+        _n_data = mesh.shape["data"]
+
+        def _put(a):
+            a = jnp.asarray(a)
+            return jax.device_put(a, _dshard) if a.shape[0] % _n_data == 0 \
+                else a  # ragged tail batch compiles its own program
+    else:
+        _put = jnp.asarray
+
     params = jax.tree_util.tree_map(jnp.asarray, params)
     opt_state = optimizer.init(params)
 
@@ -369,14 +391,14 @@ def train_denoiser(meta, params, train_sampler, val_sampler, loss_fn: str = "L2"
         n, train_loss = 0, 0.0
         for src, tgt in train_sampler.batches(batch_size, shuffle=True):
             params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(src), jnp.asarray(tgt), gamma)
+                params, opt_state, _put(src), _put(tgt), gamma)
             b = src.shape[0]
             n += b
             train_loss += b * (float(loss) - train_loss) / n
 
         n, val_loss = 0, 0.0
         for src, tgt in val_sampler.batches(batch_size, shuffle=False):
-            loss = float(eval_loss(params, jnp.asarray(src), jnp.asarray(tgt), gamma))
+            loss = float(eval_loss(params, _put(src), _put(tgt), gamma))
             b = src.shape[0]
             n += b
             val_loss += b * (loss - val_loss) / n
