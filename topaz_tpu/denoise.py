@@ -297,6 +297,9 @@ def train_denoiser(meta, params, train_sampler, val_sampler, loss_fn: str = "L2"
                    save_interval: Optional[int] = None,
                    save_prefix: Optional[str] = None, dims: int = 2,
                    precision=None, devices=None):
+    """noise2noise training loop (topaz/denoising/models.py:636-758):
+    L0(annealed)/L1/L2 losses, adagrad/adam/rmsprop/sgd, save-best on
+    validation; batches shard over the mesh when ``devices`` > 1."""
     import time
     import datetime
 
@@ -575,6 +578,7 @@ def denoise_tomogram(path: str, model: Denoise3D, outdir: Optional[str] = None,
                      suffix: str = "", patch_size: int = 96, padding: int = 48,
                      volume_num: int = 1, total_volumes: int = 1,
                      gaus: Optional[float] = None, verbose: bool = True):
+    """Denoise one tomogram file + MRC header fixups (topaz/denoise.py:495-530)."""
     name = os.path.basename(path)
     tomo, header, ext_header = mrc.read(path)
     tomo = tomo.astype(np.float32)
@@ -604,6 +608,7 @@ def denoise_tomogram_stream(volumes: List[str], model: Denoise3D,
                             output_path: str, suffix: str = "",
                             gaus: Optional[float] = None, patch_size: int = 96,
                             padding: int = 48, verbose: bool = True):
+    """Denoise a list of tomogram files (topaz/denoise.py:533-557)."""
     total, count = len(volumes), 0
     out = []
     if output_path:

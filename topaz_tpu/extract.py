@@ -28,6 +28,7 @@ from topaz_tpu.utils.printing import report
 
 
 def stream_inputs(f: TextIO) -> Iterator[str]:
+    """Yield non-empty stripped lines (stdin streaming, extract.py:271)."""
     for line in f:
         line = line.strip()
         if line:
@@ -94,6 +95,7 @@ def _nms_for_dims(dims: int):
 
 def iterate_score_target_pairs(scores: Dict[str, np.ndarray], targets: pd.DataFrame,
                                dims: int = 2):
+    """Pair each image's score map with its target coordinates."""
     cols = ["x_coord", "y_coord"] + (["z_coord"] if dims == 3 else [])
     for image_name, score in scores.items():
         target = targets.loc[targets.image_name == image_name][cols].values

@@ -48,12 +48,14 @@ _CANONICAL_TO_STAR = {v: k for k, v in _STAR_TO_CANONICAL.items()}
 
 
 class UnknownFormatError(Exception):
+    """Unrecognized coordinate-file extension (topaz/utils/files.py:32-36)."""
     def __init__(self, ext):
         super().__init__(f"unrecognized coordinate file extension: {ext!r}")
         self.ext = ext
 
 
 def detect_format(path: str) -> str:
+    """Map a file extension to its coordinate format name (files.py:16-36)."""
     ext = os.path.splitext(path)[1]
     if ext not in PARTICLE_FORMAT_MAP:
         raise UnknownFormatError(ext)
@@ -61,10 +63,12 @@ def detect_format(path: str) -> str:
 
 
 def strip_ext(name: str) -> str:
+    """Drop one trailing file extension from a name."""
     return os.path.splitext(name)[0]
 
 
 def strip_image_ext(filename: str) -> str:
+    """Strip known image extensions from a micrograph name (files.py:39-62)."""
     name, ext = os.path.splitext(filename)
     return name if ext in IMAGE_FORMATS else filename
 
@@ -77,6 +81,7 @@ def _strip_malformed_image_names(particles: pd.DataFrame) -> pd.DataFrame:
 
 
 def mirror_y_axis(coords: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Flip y coordinates on an n-row image (conversions.py:16-19)."""
     out = coords.copy()
     out["y_coord"] = n - 1 - out["y_coord"]
     return out
@@ -134,6 +139,7 @@ def coordinates_to_boxes(coords: np.ndarray, box_width: int, box_height: int,
 
 def coordinates_to_eman2_json(coords: np.ndarray, shape=None,
                               invert_y: bool = False, tag: str = "manual"):
+    """Center coordinates -> EMAN2 box-manager JSON dict (conversions.py:131-139)."""
     x = np.asarray(coords[:, 0])
     y = np.asarray(coords[:, 1])
     if invert_y:
@@ -146,6 +152,7 @@ def coordinates_to_eman2_json(coords: np.ndarray, shape=None,
 # ---------------------------------------------------------------------------
 
 def read_via_csv(path) -> pd.DataFrame:
+    """Read a VIA (VGG annotator) CSV of picks (files.py:65-107)."""
     table = pd.read_csv(path)
     table["image_name"] = table["filename"].apply(strip_ext)
     table = table.drop("filename", axis=1)
@@ -176,6 +183,7 @@ def read_via_csv(path) -> pd.DataFrame:
 
 
 def write_via_csv(path, table: pd.DataFrame) -> None:
+    """Write picks as a VIA CSV (files.py:110-144)."""
     filename = table["image_name"].apply(lambda x: x + ".png")
     via = pd.DataFrame({"filename": filename})
     via["file_size"] = -1
@@ -202,6 +210,7 @@ def write_via_csv(path, table: pd.DataFrame) -> None:
 # ---------------------------------------------------------------------------
 
 def coordinates_to_star_table(table: pd.DataFrame, image_ext: str = "") -> pd.DataFrame:
+    """Rename canonical pick columns to rln STAR names (conversions.py:173-195)."""
     out = table.copy()
     for k, v in _CANONICAL_TO_STAR.items():
         if k in out.columns:

@@ -91,6 +91,7 @@ def parse(f: IO[str]) -> pd.DataFrame:
 
 
 def parse_star(f: IO[str]) -> pd.DataFrame:
+    """Alias of :func:`parse` kept for reference-API familiarity."""
     return parse(f)
 
 

@@ -97,6 +97,7 @@ def load_denoiser(name_or_path: str, base_kernel_width: int = 11):
 
 def new_denoiser(arch: str, nf: int = 48, base_width: int = 11,
                  top_width: int = 3, dims: int = 2, seed: int = 0):
+    """Random-init denoiser: (meta, params) for an arch name."""
     import jax
 
     kind = "unet" if arch in ("unet-3d",) else arch
@@ -109,6 +110,7 @@ def new_denoiser(arch: str, nf: int = 48, base_width: int = 11,
 
 
 def save_denoiser(path: str, meta: Dict, params: Dict) -> None:
+    """Write a denoiser checkpoint (.npz: meta + param tree)."""
     import jax
     import numpy as np
 
@@ -117,6 +119,7 @@ def save_denoiser(path: str, meta: Dict, params: Dict) -> None:
 
 
 def apply_fn_for(meta: Dict):
+    """Forward function for a denoiser meta dict (keys APPLY_FNS by arch)."""
     arch = meta["arch"]
     if arch not in APPLY_FNS:
         raise ValueError(f"unknown denoiser arch {arch!r}")

@@ -63,6 +63,7 @@ def _ensure_converted(stem: str) -> str:
 
 
 def available_pretrained():
+    """Names of pretrained picker aliases bundled or convertible here."""
     out = set()
     for alias, (_, _, stem) in PRETRAINED_PICKERS.items():
         if os.path.exists(os.path.join(PRETRAINED_DIR, stem + ".npz")) or os.path.exists(
@@ -107,6 +108,7 @@ def load_picker(name_or_path: str) -> Tuple[PickerSpec, Dict, Dict]:
 
 def save_picker(path: str, spec: PickerSpec, params: Dict, state: Dict,
                 extra_meta: Optional[Dict] = None) -> None:
+    """Write a picker checkpoint (.npz: spec metadata + param/state trees)."""
     meta = {"arch": spec.arch, "dims": spec.dims}
     if spec.config is not None:
         # full constructor kwargs (units/bn/dropout/pooling/unit_scaling/...)
@@ -127,6 +129,7 @@ def save_picker(path: str, spec: PickerSpec, params: Dict, state: Dict,
 
 def new_picker(arch: str, units=32, bn: bool = False, dropout: float = 0.0,
                pooling=None, unit_scaling: int = 2, dims: int = 2, seed: int = 0):
+    """Build a fresh picker: (spec, params, state) for an arch name."""
     import jax
 
     spec = make_picker_spec(arch, units=units, bn=bn, dropout=dropout,

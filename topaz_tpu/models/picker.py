@@ -152,14 +152,17 @@ def basic_conv_spec(layers: Sequence[int], units: int, unit_scaling: int = 1,
 
 
 def conv127_spec(units=32, **kw):
+    """conv127 arch (topaz/model/factory.py registry entry)."""
     return basic_conv_spec([7, 5, 5, 5, 5], units, **kw)
 
 
 def conv63_spec(units=32, **kw):
+    """conv63 arch (topaz/model/factory.py registry entry)."""
     return basic_conv_spec([7, 5, 5, 5], units, **kw)
 
 
 def conv31_spec(units=32, **kw):
+    """conv31 arch (topaz/model/factory.py registry entry)."""
     return basic_conv_spec([7, 5, 5], units, **kw)
 
 
@@ -208,6 +211,7 @@ class PickerSpec:
 def make_picker_spec(arch: str, units=32, bn: bool = False, dropout: float = 0.0,
                      pooling=None, unit_scaling: int = 2, dims: int = 2,
                      activation: Optional[str] = None) -> PickerSpec:
+    """Resolve an arch name to its static layer spec (factory.py:28-30, sans eval())."""
     if arch not in ARCHITECTURES:
         raise ValueError(
             f"unknown architecture {arch!r}; available: {sorted(ARCHITECTURES)}"

@@ -28,6 +28,7 @@ DEFAULT_PIS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.98, 1.0)
 
 
 def beta_logpdf(pi, alpha, beta):
+    """log Beta(alpha, beta) density at pi (stats.py:165 prior term)."""
     return (
         (alpha - 1) * jnp.log(pi)
         + (beta - 1) * jnp.log1p(-pi)

@@ -34,10 +34,12 @@ def make_mesh(n_data: Optional[int] = None, n_space: int = 1,
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding that splits an array's leading axis over the data axis."""
     return NamedSharding(mesh, P("data"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding on the mesh."""
     return NamedSharding(mesh, P())
 
 

@@ -48,6 +48,7 @@ class MethodState(NamedTuple):
 
 
 def init_method_state(pi: Optional[float]) -> MethodState:
+    """Fresh per-method running state (GE-KL running expectation = pi)."""
     return MethodState(running_expectation=jnp.asarray(pi if pi else 0.0, jnp.float32))
 
 

@@ -31,6 +31,7 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(lr: float, optim: str = "adam", momentum: float = 0.0) -> optax.GradientTransformation:
+    """optax optimizer by name (adam/adagrad/rmsprop/sgd), reference defaults."""
     if optim == "adam":
         return optax.adam(lr)
     if optim == "adagrad":
@@ -145,6 +146,7 @@ def make_train_step(
 def init_train_state(spec: PickerSpec, params: Dict, model_state: Dict,
                      optimizer: optax.GradientTransformation,
                      pi: Optional[float], seed: int = 0) -> TrainState:
+    """Bundle params/model state/optimizer state/method state/rng."""
     params = jax.tree_util.tree_map(jnp.asarray, params)
     model_state = jax.tree_util.tree_map(jnp.asarray, model_state)
     return TrainState(

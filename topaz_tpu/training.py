@@ -75,6 +75,7 @@ def report_data_stats(train_images_path: str, train_targets_path: str,
                       test_images_path: Optional[str] = None,
                       test_targets_path: Optional[str] = None,
                       radius: int = 3, dims: int = 2):
+    """Count positives/pixels/images from MRC headers only (training.py:279-295)."""
     report("source\tsplit\tp_observed\tnum_positive_regions\ttotal_regions")
     train_targets = file_utils.read_coordinates(train_targets_path)
     train_grouped = group_paths_by_source(train_images_path, train_targets)
