@@ -182,3 +182,29 @@ def test_host_downsample_matches_device_prep(tmp_path, rng):
         np.testing.assert_array_equal(np.sort(c_h, axis=0),
                                       np.sort(c_d, axis=0))
         np.testing.assert_allclose(s_h, s_d, rtol=1e-3, atol=1e-4)
+
+
+def test_pipeline_bins_close_to_exact(tmp_path, rng):
+    """Histogram-EM normalization in the pipeline picks the same particles
+    as the exact fit (bin quantization only)."""
+    from topaz_tpu.pipeline import MicrographPipeline
+
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"b{i}.mrc"
+        _write_micrograph(p, rng, (128, 128), [(40, 40), (90, 80)])
+        paths.append(str(p))
+
+    kw = dict(model="resnet8_u32", scale=1, radius=6, threshold=1.0,
+              normalize=True, bucket_step=64)
+    exact = {p: (s, c) for p, s, c in
+             MicrographPipeline(**kw).process(paths, batch_size=2)}
+    hist = {p: (s, c) for p, s, c in
+            MicrographPipeline(bins=65536, **kw).process(paths, batch_size=2)}
+    for p in paths:
+        s_e, c_e = exact[p]
+        s_h, c_h = hist[p]
+        assert len(s_e) == len(s_h)
+        np.testing.assert_array_equal(np.sort(c_h, axis=0),
+                                      np.sort(c_e, axis=0))
+        np.testing.assert_allclose(s_h, s_e, rtol=1e-2, atol=1e-3)

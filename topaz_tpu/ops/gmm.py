@@ -245,6 +245,7 @@ def norm_fit_hist(
     alpha: float = 900,
     beta: float = 1,
     num_iters: int = 100,
+    w: jnp.ndarray = None,
 ):
     """Histogram-accelerated :func:`norm_fit`: bin ALL pixels once (one
     scatter-add pass), then run the same weighted EM over the bin centers
@@ -255,12 +256,21 @@ def norm_fit_hist(
     quantization to the bin width. Same 8-tuple return as norm_fit.
     """
     x = x.ravel().astype(jnp.float32)
-    n = jnp.asarray(x.size, jnp.float32)
-    lo = jnp.min(x)
-    hi = jnp.max(x)
+    if w is None:
+        n = jnp.asarray(x.size, jnp.float32)
+        lo = jnp.min(x)
+        hi = jnp.max(x)
+    else:
+        # masked variant (shape-bucketed pipeline): padding contributes
+        # neither to the range nor to the counts
+        w = w.ravel().astype(jnp.float32)
+        n = jnp.sum(w)
+        lo = jnp.min(jnp.where(w > 0, x, jnp.inf))
+        hi = jnp.max(jnp.where(w > 0, x, -jnp.inf))
     width = jnp.maximum(hi - lo, 1e-30)
     idx = jnp.clip((((x - lo) / width) * bins).astype(jnp.int32), 0, bins - 1)
-    counts = jnp.zeros(bins, jnp.float32).at[idx].add(1.0)
+    counts = jnp.zeros(bins, jnp.float32).at[idx].add(
+        1.0 if w is None else w)
     centers = lo + (jnp.arange(bins, dtype=jnp.float32) + 0.5) * (width / bins)
 
     pis = jnp.array(DEFAULT_PIS, dtype=jnp.float32)

@@ -53,6 +53,7 @@ class MicrographPipeline:
         bucket_step: int = 64,
         host_downsample: bool = False,
         num_workers: int = 4,
+        bins: int = 0,
     ):
         from topaz_tpu.models.factory import load_picker
 
@@ -70,6 +71,9 @@ class MicrographPipeline:
         # is the bottleneck
         self.host_downsample = host_downsample
         self.num_workers = max(1, int(num_workers))
+        # bins > 0: histogram-EM normalization over valid pixels (~5x
+        # faster than the exact fit at 4k; value-quantized to the bin width)
+        self.bins = int(bins)
         self.spec, self.params, self.state = load_picker(model)
         self.denoiser = None
         if denoise_model is not None:
@@ -107,7 +111,7 @@ class MicrographPipeline:
         import jax.numpy as jnp
 
         from topaz_tpu.models.picker import apply_picker
-        from topaz_tpu.ops.gmm import norm_fit
+        from topaz_tpu.ops.gmm import norm_fit, norm_fit_hist
         from topaz_tpu.ops.nms import NEG, nms_topk_batched
 
         spec, params, state = self.spec, self.params, self.state
@@ -124,6 +128,7 @@ class MicrographPipeline:
         denoiser = self.denoiser
         dparams = getattr(self, "dparams", None)
         normalize = self.normalize
+        bins = self.bins
 
         def fn(padded, valid):  # (B, bh, bw) post-downsample, valid (B, 2)
             B = padded.shape[0]
@@ -133,9 +138,13 @@ class MicrographPipeline:
                    (cols < valid[:, 1, None, None])
             maskf = mask.astype(padded.dtype)
             if normalize:
-                mu, std, *_ = jax.vmap(
-                    lambda xf, wf: norm_fit(xf, w=wf)
-                )(padded.reshape(B, -1), maskf.reshape(B, -1))
+                if bins > 0:
+                    fit_one = lambda xf, wf: norm_fit_hist(xf, bins=bins,
+                                                           w=wf)
+                else:
+                    fit_one = lambda xf, wf: norm_fit(xf, w=wf)
+                mu, std, *_ = jax.vmap(fit_one)(
+                    padded.reshape(B, -1), maskf.reshape(B, -1))
                 # re-zero the padding so the picker's SAME-conv sees exactly
                 # a true image edge
                 norms = (padded - mu[:, None, None]) / std[:, None, None] \
