@@ -254,3 +254,51 @@ def test_denoise3d_training_mesh(tmp_path, rng):
 
     meta, params = load_denoiser(ckpts[0])
     assert meta["dims"] == 3
+
+
+def test_normalize_batched_mesh_matches_single_device(tmp_path, rng):
+    """topaz normalize -d -2 (mesh-sharded batched GMM fits over shape
+    buckets) writes the same normalized images and metadata as the
+    per-image path at sample=1, across mixed geometries."""
+    import json
+
+    from topaz_tpu.io import mrc
+
+    paths = []
+    for i, shape in enumerate([(96, 128), (96, 128), (100, 120), (64, 64),
+                               (96, 128)]):
+        img = rng.normal(2.0, 3.0, shape).astype(np.float32)
+        img[20:40, 20:40] -= 6.0  # particle-ish dark blob for a real GMM
+        p = tmp_path / f"m{i}.mrc"
+        _write_mrc(p, img)
+        paths.append(str(p))
+
+    mesh_dir = tmp_path / "mesh_out"
+    single_dir = tmp_path / "single_out"
+    run_cli(["normalize", "-d", "-2", "--metadata", "--sample", "1",
+             "-o", str(mesh_dir)] + paths)
+    run_cli(["normalize", "--metadata", "--sample", "1",
+             "-o", str(single_dir)] + paths)
+
+    for i in range(len(paths)):
+        a, _, _ = mrc.read(str(mesh_dir / f"m{i}.mrc"))
+        b, _, _ = mrc.read(str(single_dir / f"m{i}.mrc"))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+        with open(mesh_dir / f"m{i}.metadata.json") as fh:
+            ma = json.load(fh)
+        with open(single_dir / f"m{i}.metadata.json") as fh:
+            mb = json.load(fh)
+        np.testing.assert_allclose(ma["mu"], mb["mu"], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(ma["std"], mb["std"], rtol=1e-4,
+                                   atol=1e-5)
+
+    # affine + downsample variant through the batched path
+    run_cli(["normalize", "-d", "-2", "--affine", "-s", "2",
+             "-o", str(tmp_path / "mesh_aff")] + paths)
+    run_cli(["normalize", "--affine", "-s", "2",
+             "-o", str(tmp_path / "single_aff")] + paths)
+    for i in range(len(paths)):
+        a, _, _ = mrc.read(str(tmp_path / "mesh_aff" / f"m{i}.mrc"))
+        b, _, _ = mrc.read(str(tmp_path / "single_aff" / f"m{i}.mrc"))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

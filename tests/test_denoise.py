@@ -295,3 +295,37 @@ def test_denoise_stack_batched_matches_per_frame(tmp_path, rng):
     # written file round-trips
     written, _, _ = mrc.read(str(tmp_path / "den.mrcs"))
     np.testing.assert_allclose(written, out, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("arch", ["unet", "unet-small", "unet2", "unet3"])
+def test_fused_upsample_decoder_parity(rng, arch, monkeypatch):
+    """The input-dilated fused upsample+conv decoder (models/denoise.py
+    _conv_up_cat) is numerically identical to the materialized
+    nearest-upsample + concat + conv form, on exact-2x sizes (fused path)
+    and odd sizes (fallback routing), 2D and 3D."""
+    import jax
+    import jax.numpy as jnp
+
+    from topaz_tpu.models import denoise as D
+
+    key = jax.random.PRNGKey(0)
+    params = D.init_denoiser(arch, key, nf=8, base_width=7, top_width=3)
+    for shape in ((2, 64, 96, 1), (1, 67, 91, 1)):
+        x = jax.random.normal(jax.random.PRNGKey(1), shape)
+        monkeypatch.setenv("TOPAZ_FUSED_UP", "0")
+        y0 = D.APPLY_FNS[arch](params, x)
+        monkeypatch.setenv("TOPAZ_FUSED_UP", "1")
+        y1 = D.APPLY_FNS[arch](params, x)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=1e-4, atol=1e-5)
+    if arch == "unet":
+        params = D.init_denoiser("unet", key, nf=4, base_width=5,
+                                 top_width=3, dims=3)
+        # 5-level 3D U-Net: every spatial dim must survive 5 2x pools
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 32, 1))
+        monkeypatch.setenv("TOPAZ_FUSED_UP", "0")
+        y0 = D.apply_unet(params, x, dims=3)
+        monkeypatch.setenv("TOPAZ_FUSED_UP", "1")
+        y1 = D.apply_unet(params, x, dims=3)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=1e-4, atol=1e-5)

@@ -19,7 +19,8 @@ def add_arguments(parser=None):
     parser.add_argument("-a", "--alpha", default=900, type=float, help="alpha parameter of the beta distribution prior on the mixing proportion (default: 900)")
     parser.add_argument("-b", "--beta", default=1, type=float, help="beta parameter of the beta distribution prior on the mixing proportion (default: 1)")
     parser.add_argument("--metadata", action="store_true", help="if set, save parameter metadata for each micrograph")
-    parser.add_argument("-d", "--device", default=-1, type=int, help="compute device (kept for CLI compatibility; the TPU is used automatically)")
+    parser.add_argument("-d", "--device", default=-1, type=int, help="compute device; -2 batches micrographs and shards the GMM fits over ALL devices via the device mesh (default: -1)")
+    parser.add_argument("--batch-size", default=1, type=int, help="fit this many micrographs per device program (shape-bucketed + masked); >1 batches even on one device, -d -2 implies the device count (default: 1)")
     parser.add_argument("-t", "--num-workers", type=int, default=0, help="number of parallel processes (compatibility flag; per-image fits run on the accelerator)")
     parser.add_argument("-j", "--num-threads", type=int, default=0, help="number of host threads (compatibility flag)")
     parser.add_argument("-o", "--destdir", help="output directory")
@@ -30,6 +31,32 @@ def add_arguments(parser=None):
 
 def main(args):
     formats = args.format_.split(",")
+    if args.device == -2 or args.batch_size > 1:
+        import sys
+
+        from topaz_tpu.preprocess import normalize_images_batched
+
+        mesh = None
+        if args.device == -2:
+            import jax
+
+            if len(jax.devices()) > 1:
+                from topaz_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(n_space=1)
+        if args.sample > 1:
+            print("# batched normalization fits all valid pixels; --sample "
+                  "subsampling is a CPU-only workaround and is ignored "
+                  "(use --bins for a faster fit)", file=sys.stderr)
+        normalize_images_batched(
+            args.files, args.destdir, scale=args.scale, affine=args.affine,
+            num_iters=args.niters, alpha=args.alpha, beta=args.beta,
+            metadata=args.metadata, formats=formats, bins=args.bins,
+            verbose=args.verbose,
+            batch_size=args.batch_size if args.batch_size > 1 else 0,
+            mesh=mesh,
+        )
+        return
     normalize_images(
         args.files, args.destdir, scale=args.scale, affine=args.affine,
         num_iters=args.niters, alpha=args.alpha, beta=args.beta,

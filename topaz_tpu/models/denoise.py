@@ -50,7 +50,12 @@ def _conv_cat(a, b, p, dims=2, precision=None):
     on v5e (a TPU-profiler trace showed ~38% of U-Net device time in
     copy/reshape/broadcast data movement). At 4096^2, however, it pushes
     XLA into catastrophic conv layouts (2x padded f32[4096,8,513,64]
-    temps -> 16 GB HBM, OOM), so large images keep the concat form."""
+    temps -> 16 GB HBM, OOM), so large images keep the concat form.
+
+    This is the fallback for non-exact-2x upsamples; exact-2x levels use
+    the fused input-dilated form (_conv_up_cat), measured faster still
+    (v5e whole U-Net: 37.9 -> 33.1 ms at 512^2, 164 -> 160 ms on 2x96^3
+    3D patches, 415 -> 408 ms at 4096^2)."""
     area = 1
     for s in a.shape[1 : 1 + dims]:
         area *= int(s)
@@ -68,6 +73,133 @@ def _conv_cat(a, b, p, dims=2, precision=None):
 
 def _lrelu(x):
     return jax.nn.leaky_relu(x, 0.1)
+
+
+def _upconv_kernel(w):
+    """Compose a k-tap SAME conv with a preceding exact-2x nearest upsample
+    into one (k+1)-tap kernel for an input-dilated conv.
+
+    nearest-2x(h)[j] = h[j//2] equals the dilated signal d (h at even
+    positions, zeros between) correlated with ones(2):  up = ones2 * d.
+    Hence  conv_k(up) = (conv_k * ones2)(d)  with the combined kernel
+    W'[m] = W[m-1] + W[m]  (out-of-range taps zero), per spatial axis."""
+    dims = w.ndim - 2
+    out = 0.0
+    for shifts in np.ndindex(*((2,) * dims)):
+        pad = [(1 - s, s) for s in shifts] + [(0, 0), (0, 0)]
+        out = out + jnp.pad(w, pad)
+    return out
+
+
+def _conv_up(h, w, dims=2, precision=None):
+    """conv_k(nearest_2x_upsample(h)) without materializing the upsample:
+    one input-dilated conv with the composed (k+1)-tap kernel. Exact for
+    even output sizes (out = 2*in per axis). No bias added."""
+    k = w.shape[0]
+    p = (k + 1) // 2  # composed kernel size k+1; SAME-on-upsampled padding
+    dn = ("NHWC", "HWIO", "NHWC") if dims == 2 else ("NDHWC", "DHWIO", "NDHWC")
+    return lax.conv_general_dilated(
+        h, _upconv_kernel(w), (1,) * dims, [(p, p)] * dims,
+        lhs_dilation=(2,) * dims, dimension_numbers=dn, precision=precision,
+    )
+
+
+def _fused_up_enabled():
+    import os
+
+    return os.environ.get("TOPAZ_FUSED_UP", "1") != "0"
+
+
+# Above this output area XLA's input-dilated conv lowering splits the conv
+# into a padded spatial layout whose temp copies OOM 16 GB HBM at 4096^2
+# (measured: f32[4096,8,513,64] copy, 2x pad expansion, 8 GB). The fused
+# form is used at or below it; larger levels take the banded path below.
+_FUSED_UP_MAX_AREA = 2048 * 2048
+
+
+def _conv_up_cat(h, skip, p, dims=2, precision=None):
+    """``conv(concat([nearest_2x(h), skip], -1))`` with neither the upsample
+    nor the concat materialized: the h half of the kernel becomes one
+    input-dilated conv on the low-res h (see _conv_up) and the skip half a
+    plain conv, summed by linearity. Exact; used when every spatial axis
+    doubles (the power-of-two case). A v5e profiler trace showed ~38% of 4k
+    U-Net device time in copy/reshape/broadcast/pad from the materialized
+    upsample+concat — this removes all of it."""
+    ch = h.shape[-1]
+    w = p["w"]
+    ya = _conv_up(h, w[..., :ch, :], dims, precision)
+    dn = ("NHWC", "HWIO", "NHWC") if dims == 2 else ("NDHWC", "DHWIO", "NDHWC")
+    yb = lax.conv_general_dilated(skip, w[..., ch:, :], (1,) * dims, "SAME",
+                                  dimension_numbers=dn, precision=precision)
+    return ya + yb + p["b"]
+
+
+def _dec1_block(params_dec1, h, x, dims=2, precision=None):
+    """Top decoder level: up(h) ∥ x -> conv -> lrelu -> conv -> lrelu -> conv.
+
+    For large 2D images (output area > _FUSED_UP_MAX_AREA) the three convs
+    are computed in exact row bands: each band slices h and x with a halo
+    wide enough that SAME-pad corruption at interior band edges is cropped
+    away, so the result is bit-identical to the whole-image form while every
+    temp is a band (~1/bands of a full-res 64-channel map). This removes the
+    materialized 2x upsample + concat of the top level — the dominant term
+    in a measured v5e profile (38% of 4k device time in copy/reshape/
+    broadcast/pad) — without the 16 GB HBM OOM that a whole-image
+    input-dilated conv provokes at 4096^2."""
+    w0 = params_dec1["0"]["w"]
+    k = int(w0.shape[0])
+    hs, xs_sp = _spatial(h, dims), _spatial(x, dims)
+    area = 1
+    for s in xs_sp:
+        area *= int(s)
+    import os
+
+    # Banding measured slower than the concat fallback on v5e at 4096^2
+    # (434 vs 415 ms: the per-band slice copies and output concat cost more
+    # than the saved upsample+concat) — off by default, kept for parts with
+    # more HBM pressure or future XLA layout changes.
+    banding = os.environ.get("TOPAZ_BAND_DEC1", "0") == "1"
+    exact2x = all(s == 2 * hh for hh, s in zip(hs, xs_sp))
+    if (dims != 2 or not exact2x or not banding or not _fused_up_enabled()
+            or area <= _FUSED_UP_MAX_AREA):
+        hh = _lrelu(_up_block(h, x, params_dec1["0"], dims, precision))
+        hh = _lrelu(_conv(hh, params_dec1["2"], dims, precision))
+        return _conv(hh, params_dec1["4"], dims, precision)
+
+    n_rows, n_cols = xs_sp
+    n_bands = int(np.ceil(area / _FUSED_UP_MAX_AREA))
+    rows = int(np.ceil(n_rows / n_bands / 2) * 2)
+    p = (k - 1) // 2
+    halo = 4 * p + 4  # > corruption depth (3p+1), kept even for alignment
+    outs = []
+    r0 = 0
+    while r0 < n_rows:
+        r1 = min(n_rows, r0 + rows)
+        e0 = max(0, r0 - halo)
+        e0 -= e0 % 2
+        e1 = min(n_rows, r1 + halo)
+        e1 += e1 % 2
+        hb = _lrelu(_conv_up_cat(h[:, e0 // 2 : e1 // 2], x[:, e0:e1],
+                                 params_dec1["0"], dims, precision))
+        hb = _lrelu(_conv(hb, params_dec1["2"], dims, precision))
+        yb = _conv(hb, params_dec1["4"], dims, precision)
+        outs.append(yb[:, r0 - e0 : r1 - e0])
+        r0 = r1
+    return jnp.concatenate(outs, axis=1)
+
+
+def _up_block(h, skip, p, dims=2, precision=None):
+    """Decoder entry: upsample h to skip's spatial size, concat, conv.
+    Routes to the fused dilated-conv form when all axes exactly double."""
+    hs, ss = _spatial(h, dims), _spatial(skip, dims)
+    area = 1
+    for s in ss:
+        area *= int(s)
+    if (_fused_up_enabled() and area <= _FUSED_UP_MAX_AREA
+            and all(s == 2 * hh for hh, s in zip(hs, ss))):
+        return _conv_up_cat(h, skip, p, dims, precision)
+    h = _up_nearest(h, ss, dims)
+    return _conv_cat(h, skip, p, dims, precision)
 
 
 def _pool2(x, dims=2):
@@ -117,14 +249,10 @@ def apply_unet(params: Dict, x: jnp.ndarray, dims: int = 2,
     h = _lrelu(c(p5, "enc6", 0))
 
     for name, skip in (("dec5", p4), ("dec4", p3), ("dec3", p2), ("dec2", p1)):
-        h = _up_nearest(h, _spatial(skip, dims), dims)
-        h = _lrelu(_conv_cat(h, skip, params[name]["0"], dims, precision))
+        h = _lrelu(_up_block(h, skip, params[name]["0"], dims, precision))
         h = _lrelu(c(h, name, 2))
 
-    h = _up_nearest(h, _spatial(x, dims), dims)
-    h = _lrelu(_conv_cat(h, x, params["dec1"]["0"], dims, precision))
-    h = _lrelu(c(h, "dec1", 2))
-    y = c(h, "dec1", 4)
+    y = _dec1_block(params["dec1"], h, x, dims, precision)
     return x - y if residual else y
 
 
@@ -138,14 +266,10 @@ def apply_unet_small(params: Dict, x: jnp.ndarray, dims: int = 2,
     h = _lrelu(c(p3, "enc4", 0))
 
     for name, skip in (("dec3", p2), ("dec2", p1)):
-        h = _up_nearest(h, _spatial(skip, dims), dims)
-        h = _lrelu(_conv_cat(h, skip, params[name]["0"], dims, precision))
+        h = _lrelu(_up_block(h, skip, params[name]["0"], dims, precision))
         h = _lrelu(c(h, name, 2))
 
-    h = _up_nearest(h, _spatial(x, dims), dims)
-    h = _lrelu(_conv_cat(h, x, params["dec1"]["0"], dims, precision))
-    h = _lrelu(c(h, "dec1", 2))
-    return c(h, "dec1", 4)
+    return _dec1_block(params["dec1"], h, x, dims, precision)
 
 
 def apply_unet2(params: Dict, x: jnp.ndarray, dims: int = 2,
@@ -165,12 +289,19 @@ def apply_unet2(params: Dict, x: jnp.ndarray, dims: int = 2,
         h = _lrelu(_conv_cat(h, skip, params[name]["0"], dims, precision))
         h = _lrelu(c(h, name, 2))
 
-    h = _up_nearest(h, _spatial(p1, dims), dims)
-    h = _lrelu(c(h, "dec2", 0))
-    h = _lrelu(c(h, "dec2", 2))
-    h = _up_nearest(h, _spatial(x, dims), dims)
-    h = _lrelu(c(h, "dec1", 0))
-    h = _lrelu(c(h, "dec1", 2))
+    for name, target in (("dec2", _spatial(p1, dims)), ("dec1", _spatial(x, dims))):
+        hs = _spatial(h, dims)
+        area = 1
+        for t in target:
+            area *= int(t)
+        if (_fused_up_enabled() and area <= _FUSED_UP_MAX_AREA
+                and all(t == 2 * s for s, t in zip(hs, target))):
+            p = params[name]["0"]
+            h = _lrelu(_conv_up(h, p["w"], dims, precision) + p["b"])
+        else:
+            h = _up_nearest(h, target, dims)
+            h = _lrelu(c(h, name, 0))
+        h = _lrelu(c(h, name, 2))
     return c(h, "dec1", 4)
 
 

@@ -87,6 +87,200 @@ def normalize_file(
     return name
 
 
+def normalize_images_batched(
+    paths: List[str],
+    dest: str,
+    scale: int = 1,
+    affine: bool = False,
+    num_iters: int = 100,
+    alpha: float = 900,
+    beta: float = 1,
+    metadata: bool = False,
+    formats: Optional[List[str]] = None,
+    verbose: bool = False,
+    bins: int = 0,
+    num_workers: int = 2,
+    batch_size: int = 0,
+    mesh=None,
+    bucket_step: int = 64,
+) -> None:
+    """Batched/mesh-sharded normalization: micrographs are grouped into
+    rounded shape buckets (zero-padded + masked, like pipeline.py), B
+    images fit their GMMs at once — vmapped on one chip, sharded over the
+    mesh's ``data`` axis when given. Replaces the reference's
+    multiprocessing.Pool fan-out (topaz/stats.py:347-348) with device
+    parallelism.
+
+    The fit uses ALL valid pixels (exact weighted EM; ``bins > 0`` switches
+    to the histogram EM) — the reference's ``--sample`` pixel subsampling
+    is a CPU-cost workaround that the device path does not need.
+    """
+    import queue as _queue
+    import threading
+    from collections import defaultdict, deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
+    from topaz_tpu.ops.gmm import norm_fit, norm_fit_hist
+    from topaz_tpu.pipeline import _image_shape
+
+    formats = formats or ["mrc"]
+    os.makedirs(dest, exist_ok=True)
+    if batch_size <= 0:
+        batch_size = (mesh.shape["data"] if mesh is not None
+                      else max(1, len(jax.devices())))
+
+    def ds_shape(shape):
+        if scale > 1:
+            return (int(shape[0] / scale), int(shape[1] / scale))
+        return tuple(shape)
+
+    def bucket_for(shape):
+        return (-(-shape[0] // bucket_step) * bucket_step,
+                -(-shape[1] // bucket_step) * bucket_step)
+
+    buckets = defaultdict(list)
+    for p in paths:
+        buckets[bucket_for(ds_shape(_image_shape(p)))].append(p)
+
+    fns = {}
+
+    def fn_for(bucket):
+        if bucket in fns:
+            return fns[bucket]
+        bh, bw = bucket
+
+        def fit_batch(padded, valid):
+            rows = jnp.arange(bh)[None, :, None]
+            cols = jnp.arange(bw)[None, None, :]
+            mask = ((rows < valid[:, 0, None, None])
+                    & (cols < valid[:, 1, None, None]))
+            maskf = mask.astype(padded.dtype)
+            B = padded.shape[0]
+            xf, wf = padded.reshape(B, -1), maskf.reshape(B, -1)
+            if affine:
+                n = jnp.sum(wf, axis=1)
+                mu = jnp.sum(xf * wf, axis=1) / n
+                std = jnp.sqrt(
+                    jnp.sum(wf * (xf - mu[:, None]) ** 2, axis=1) / n)
+                stats = (mu, std)
+            elif bins > 0:
+                stats = jax.vmap(lambda x, w: norm_fit_hist(
+                    x, bins=bins, alpha=alpha, beta=beta,
+                    num_iters=num_iters, w=w))(xf, wf)
+            else:
+                stats = jax.vmap(lambda x, w: norm_fit(
+                    x, alpha=alpha, beta=beta, num_iters=num_iters,
+                    w=w))(xf, wf)
+            mu, std = stats[0], stats[1]
+            out = (padded - mu[:, None, None]) / std[:, None, None] * maskf
+            return (out,) + tuple(stats)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P("data"))
+            jitted = jax.jit(fit_batch, in_shardings=(sharding, sharding))
+
+            def run(arr, valid):
+                return jitted(jax.device_put(arr, sharding),
+                              jax.device_put(valid, sharding))
+
+            fns[bucket] = run
+        else:
+            fns[bucket] = jax.jit(fit_batch)
+        return fns[bucket]
+
+    def load_one(path, bucket):
+        image, header, ext_header = load_image(path, return_header=True)
+        x = np.asarray(image, dtype=np.float32)
+        if scale > 1:
+            from topaz_tpu.ops.fourier import downsample_numpy
+
+            x = downsample_numpy(x, scale, shape=ds_shape(x.shape))
+            if header is not None:
+                header = header.replace(ny=x.shape[0], nx=x.shape[1])
+        out = np.zeros(bucket, np.float32)
+        out[: x.shape[0], : x.shape[1]] = x
+        return out, x.shape, header, ext_header
+
+    def produce(out_q):
+        try:
+            with ThreadPoolExecutor(max(1, num_workers)) as ex:
+                for bucket, items in buckets.items():
+                    window = batch_size + max(1, num_workers)
+                    futs: deque = deque()
+                    nxt = 0
+
+                    def fill(nxt):
+                        while nxt < len(items) and len(futs) < window:
+                            futs.append(ex.submit(load_one, items[nxt],
+                                                  bucket))
+                            nxt += 1
+                        return nxt
+
+                    nxt = fill(nxt)
+                    for start in range(0, len(items), batch_size):
+                        chunk = items[start : start + batch_size]
+                        loaded = []
+                        for _ in range(len(chunk)):
+                            loaded.append(futs.popleft().result())
+                            nxt = fill(nxt)
+                        n_real = len(loaded)
+                        while len(loaded) < batch_size:
+                            loaded.append(loaded[-1])
+                        arr = np.stack([l[0] for l in loaded])
+                        valid = np.array([l[1] for l in loaded],
+                                         dtype=np.int32)
+                        out_q.put((bucket, chunk, n_real, arr, valid,
+                                   [l[2] for l in loaded],
+                                   [l[3] for l in loaded]))
+            out_q.put(None)
+        except BaseException as e:  # noqa: BLE001
+            out_q.put(e)
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=2)
+    threading.Thread(target=produce, args=(q,), daemon=True).start()
+
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        bucket, chunk, n_real, arr, valid, headers, ext_headers = item
+        out = fn_for(bucket)(jnp.asarray(arr), jnp.asarray(valid))
+        normed = np.asarray(out[0])
+        stats = [np.asarray(s) for s in out[1:]]
+        for i, path in enumerate(chunk):
+            name = os.path.splitext(os.path.basename(path))[0]
+            base = os.path.join(dest, name)
+            vh, vw = valid[i]
+            img = normed[i, :vh, :vw]
+            for f in formats:
+                save_image(img, base, f=f, header=headers[i],
+                           extended_header=ext_headers[i])
+            if metadata:
+                if affine:
+                    md = {"mu": float(stats[0][i]),
+                          "std": float(stats[1][i]), "pi": 1}
+                else:
+                    mu, std, pi, logp, mus, stds, pis, logps = \
+                        (s[i] for s in stats)
+                    md = {"mu": float(mu), "std": float(std),
+                          "pi": float(pi), "logp": float(logp),
+                          "mus": mus.tolist(), "stds": stds.tolist(),
+                          "pis": pis.tolist(), "logps": logps.tolist(),
+                          "alpha": alpha, "beta": beta,
+                          "sample": 1, "bins": int(bins)}
+                with open(base + ".metadata.json", "w") as fh:
+                    json.dump(md, fh, indent=4)
+            if verbose:
+                print("# processed:", name, file=sys.stderr)
+
+
 def normalize_images(
     paths: List[str],
     dest: str,
