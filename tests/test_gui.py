@@ -70,8 +70,10 @@ def test_gui_feature_surface():
     # the capabilities the reference GUI serves (annotate, threshold,
     # import/export, command generation) must be present
     for feature in ("parseMRC", "importTSV", "importBox", "importStar",
-                    "exp-txt", "exp-box", "exp-star", "threshold",
-                    "save-session", "cmd", "flipy"):
+                    "importEman2", "exp-txt", "exp-box", "exp-star",
+                    "exp-json", "threshold", "save-session", "cmd", "flipy",
+                    "scorehist", "drawScoreHist", "setSection", "gamma",
+                    "sectionrow", "pickstats"):
         assert feature in html, f"GUI lost feature: {feature}"
 
 
