@@ -329,3 +329,38 @@ def test_fused_upsample_decoder_parity(rng, arch, monkeypatch):
         y1 = D.apply_unet(params, x, dims=3)
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_auto_patch_size_economics():
+    """auto_patch_size minimizes n_patches * (s+2p)^3 with MXU-aligned
+    padded extents, reproducing the measured patch-economics ranking
+    (profiles/PROFILE.md: on 192x384x384, patch 160 processes MORE voxels
+    than 96; a divisor patch avoids grid overshoot)."""
+    from topaz_tpu.denoise import auto_patch_size
+
+    def cost(shape, s, p=48):
+        n = 1
+        for d in shape:
+            n *= -(-d // s)
+        return n * (s + 2 * p) ** 3
+
+    shape = (192, 384, 384)
+    s = auto_patch_size(shape, padding=48)
+    assert (s + 96) % 32 == 0 and s + 96 <= 256
+    for cand in (32, 64, 96, 128, 160):
+        assert cost(shape, s) <= cost(shape, cand)
+    # a cube divisible by 96 picks a divisor-friendly size
+    s2 = auto_patch_size((96, 96, 96), padding=48)
+    assert cost((96, 96, 96), s2) <= cost((96, 96, 96), 96)
+
+
+def test_denoise3d_auto_patch_matches_explicit(tmp_path, rng):
+    """Denoise3D.denoise(patch_size=-2) equals the explicitly chosen size."""
+    from topaz_tpu.denoise import Denoise3D, auto_patch_size
+
+    model = Denoise3D.from_arch("unet", nf=4, base_width=5, dims=3)
+    vol = rng.normal(0, 1, (64, 64, 64)).astype(np.float32)
+    s = auto_patch_size(vol.shape, padding=16)
+    auto = model.denoise(vol, patch_size=-2, padding=16, verbose=False)
+    explicit = model.denoise(vol, patch_size=s, padding=16, verbose=False)
+    np.testing.assert_allclose(auto, explicit, rtol=1e-5, atol=1e-6)

@@ -186,6 +186,33 @@ class Denoise:
         self._jit_cache.clear()  # compiled programs captured the old params
 
 
+def auto_patch_size(shape, padding: int = 48, max_extent: int = 256,
+                    align: int = 32) -> int:
+    """Pick the 3D inference patch size minimizing total processed voxels.
+
+    The reference defaults (-s 96 -p 48) process (96+2*48)^3 voxels per
+    96^3 of output — an 8x overlap tax — and a patch that does not divide
+    the tomogram dims adds ceil-grid overshoot (measured on v5e: patch 160
+    on a 192x384x384 tomogram is 1.7x SLOWER than patch 96; see
+    profiles/PROFILE.md). This scans patch sizes whose padded extent is
+    MXU-aligned (d % align == 0) and <= max_extent (HBM-safe for the
+    nf=48 3D U-Net on 16 GB), scoring cost = n_patches * d^3; ties prefer
+    the larger patch (fewer dispatches)."""
+    best = None
+    s0 = (-2 * padding) % align
+    if s0 == 0:
+        s0 = align
+    for s in range(s0, max_extent - 2 * padding + 1, align):
+        d = s + 2 * padding
+        n_patches = 1
+        for n in shape:
+            n_patches *= -(-int(n) // s)
+        cost = n_patches * d**3
+        if best is None or cost < best[0] or (cost == best[0] and s > best[1]):
+            best = (cost, s)
+    return best[1]
+
+
 class Denoise3D(Denoise):
     """Tomogram denoiser facade (topaz/denoise.py:336-377)."""
 
@@ -194,6 +221,12 @@ class Denoise3D(Denoise):
     def denoise(self, tomo: np.ndarray, patch_size: int = 96,
                 padding: int = 48, batch_size: int = 1, volume_num: int = 1,
                 total_volumes: int = 1, verbose: bool = True) -> np.ndarray:
+        if patch_size == -2:  # auto: cost-optimal for this tomogram's dims
+            patch_size = auto_patch_size(tomo.shape, padding=padding)
+            if verbose:
+                print(f"# auto patch size {patch_size} for volume "
+                      f"{tuple(tomo.shape)} (padding {padding})",
+                      file=sys.stderr)
         if patch_size < 1:
             return self._apply(tomo)
 
@@ -752,8 +785,9 @@ def denoise3d_main(args):
 
     if len(args.volumes) < 1:
         return
+    shown = "auto" if args.patch_size == -2 else args.patch_size
     print(f"# denoising {len(args.volumes)} tomograms with patch size="
-          f"{args.patch_size} and padding={args.patch_padding}",
+          f"{shown} and padding={args.patch_padding}",
           file=sys.stderr)
     return denoise_tomogram_stream(args.volumes, denoiser, args.output,
                                    suffix=args.suffix, gaus=args.gaussian,
