@@ -159,20 +159,27 @@ class MicrographPipeline:
             vals, coords, counts = nms_topk_batched(scores, r, t, k)
             out = (vals, coords, counts)
             if denoiser is not None:
-                # serialize the U-Net over the batch (lax.map) — a batched
-                # whole-image pass would multiply its activation footprint
-                # past HBM for large micrographs
-                def _den_one(args):
-                    raw, m = args
-                    nv = jnp.sum(m)
-                    m2 = jnp.sum(raw * m) / nv
-                    s2 = jnp.sqrt(jnp.sum(m * (raw - m2) ** 2) / nv)
-                    xin = (((raw - m2) / s2) * m)[None, ..., None]
-                    y = denoiser(dparams, xin, dims=2,
-                                 precision=precision)[0, ..., 0]
-                    return y * s2 + m2
-
-                den = jax.lax.map(_den_one, (padded, maskf))
+                # per-image masked statistics either way (reference
+                # _denoise semantics, topaz/denoise.py:274-296)
+                nv = jnp.sum(maskf, axis=(1, 2), keepdims=True)
+                m2 = jnp.sum(padded * maskf, axis=(1, 2), keepdims=True) / nv
+                s2 = jnp.sqrt(jnp.sum(maskf * (padded - m2) ** 2,
+                                      axis=(1, 2), keepdims=True) / nv)
+                norm_in = ((padded - m2) / s2) * maskf
+                # small buckets run the U-Net truly batched (activation
+                # footprint B * bh*bw * 64ch stays well under HBM at the
+                # picking scale); large micrographs serialize via lax.map
+                # to avoid multiplying multi-GB decoder temps by B
+                if B * bh * bw <= 8 * 1024 * 1024:
+                    y = denoiser(dparams, norm_in[..., None], dims=2,
+                                 precision=precision)[..., 0]
+                else:
+                    y = jax.lax.map(
+                        lambda xi: denoiser(dparams, xi[None, ..., None],
+                                            dims=2,
+                                            precision=precision)[0, ..., 0],
+                        norm_in)
+                den = y * s2 + m2
                 out = out + (den,)
             return out
 
