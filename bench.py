@@ -114,6 +114,46 @@ def bench_compute(rng) -> float:
     return N_ITERS / elapsed
 
 
+TRAIN_BATCH = 256
+TRAIN_ITERS = 20
+
+
+def bench_train(rng) -> float:
+    """Picker-training throughput (BASELINE config 3): one jitted
+    GE-binomial PU train step — on-device forward + penalty + backward +
+    Adam — on resnet8_u32-shaped crops at the reference protocol's batch
+    size (256). Returns crops/sec; the fused-sampler path (final 71x71
+    crops) is what real training runs (profiles/PROFILE.md)."""
+    import jax.numpy as jnp
+
+    from topaz_tpu.models.factory import load_picker
+    from topaz_tpu.train.methods import make_loss_fn
+    from topaz_tpu.train.trainer import (init_train_state, make_optimizer,
+                                         make_train_step)
+
+    spec, params, state = load_picker("resnet8_u32")
+    loss_fn, _header, _split = make_loss_fn("GE-binomial", 0.025)
+    opt = make_optimizer(2e-4, "adam")
+    step = make_train_step(spec, loss_fn, opt, n_pos=16)
+    st = init_train_state(spec, params, state, opt, 0.025)
+    crops = jnp.asarray(
+        rng.normal(0, 1, (TRAIN_BATCH, spec.width, spec.width))
+        .astype(np.float32))
+
+    t0 = time.time()
+    st, metrics = step(st, crops)
+    _ = float(np.asarray(metrics["loss"]))
+    print(f"# bench: train-step compile done in {time.time() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    for _ in range(TRAIN_ITERS):
+        st, metrics = step(st, crops)
+    _ = float(np.asarray(metrics["loss"]))  # drain the async queue
+    elapsed = time.time() - t0
+    return TRAIN_ITERS * TRAIN_BATCH / elapsed
+
+
 N_PIPELINE_FILES = 32
 PIPELINE_BATCH = 8
 
@@ -191,6 +231,7 @@ def main():
 
     compute_tput = bench_compute(rng)
     pipeline_tput = bench_pipeline(rng)
+    train_tput = bench_train(rng)
 
     vs_baseline = None
     pipeline_vs_cpu = None
@@ -220,6 +261,10 @@ def main():
                 f"{PIPELINE_BATCH}"),
             "pipeline_vs_cpu_ref_same_work_est": (
                 round(pipeline_vs_cpu, 1) if pipeline_vs_cpu else None),
+            "train_crops_per_sec": round(train_tput, 1),
+            "train_workload": ("GE-binomial PU train step, resnet8_u32 "
+                               f"crops, batch {TRAIN_BATCH}, jitted "
+                               "fwd+penalty+bwd+Adam (BASELINE config 3)"),
             "note": ("host->device link here is a ~15 MB/s tunnel "
                      "(environment artifact), hence host-side Fourier crop; "
                      "compute number is methodology-identical to round 1"),

@@ -364,3 +364,20 @@ def test_denoise3d_auto_patch_matches_explicit(tmp_path, rng):
     auto = model.denoise(vol, patch_size=-2, padding=16, verbose=False)
     explicit = model.denoise(vol, patch_size=s, padding=16, verbose=False)
     np.testing.assert_allclose(auto, explicit, rtol=1e-5, atol=1e-6)
+
+
+def test_denoise_bf16_fast_mode(rng):
+    """dtype='bf16' opt-in: runs end-to-end, output close to the f32 path
+    (documented ~0.4% relative error fast mode)."""
+    from topaz_tpu.denoise import Denoise
+
+    x = rng.normal(0, 2, (96, 96)).astype(np.float32)
+    f32 = Denoise("unet-small")
+    b16 = Denoise("unet-small", dtype="bf16")
+    y32 = f32.denoise(x, patch_size=-1)
+    y16 = b16.denoise(x, patch_size=-1)
+    assert y16.dtype == np.float32
+    scale = np.abs(y32).mean() + 1e-6
+    assert np.mean(np.abs(y32 - y16)) / scale < 0.05
+    # the halo path stays on the exact f32 implementation
+    assert b16._apply_halo(x) is None

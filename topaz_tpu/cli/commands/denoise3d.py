@@ -36,6 +36,7 @@ def add_arguments(parser=None):
 
     parser.add_argument("-g", "--gaussian", type=float, default=0, help="standard deviation of Gaussian filter postprocessing, 0 means no postprocessing (default: 0)")
     parser.add_argument("-s", "--patch-size", type=int, default=96, help="denoises volumes in patches of this size. not used if <1 (default: 96)")
+    parser.add_argument("--precision", choices=["f32", "bf16"], default="f32", help="inference precision; bf16 halves HBM traffic and doubles MXU rate at ~0.4%% relative error — f32 keeps bit-parity with the reference (default: f32)")
     parser.add_argument("--auto-patch", action="store_true", help="override -s with the cost-optimal patch size for each tomogram's dimensions (minimizes padded-overlap + grid-overshoot waste; up to ~2.5x faster than a poorly dividing patch size)")
     parser.add_argument("-p", "--patch-padding", type=int, default=48, help="padding around each patch to remove edge artifacts (default: 48)")
     parser.add_argument("-d", "--device", type=int, default=-2, help="compute device/s; -2 uses ALL devices — denoising patch batches are sharded over the device mesh (default: -2)")
