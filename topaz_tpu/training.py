@@ -284,10 +284,12 @@ def train_model(args, output=None):
                              seed=getattr(args, "seed", 0))
 
     # epoch loop with the reference's TSV contract (training.py:571-603).
-    # Host sampling runs in a prefetch thread and metric rows print one step
-    # behind dispatch, so the device never idles on the host.
+    # Host sampling runs in a prefetch thread and metric rows print a few
+    # steps behind dispatch, so the device never idles on the host.
     import queue
     import threading
+
+    import jax.numpy as jnp
 
     print("\t".join(["epoch", "iter", "split"] + header + ["auprc"]),
           file=output, flush=True)
@@ -295,8 +297,10 @@ def train_model(args, output=None):
     prec_idx = header.index("precision")
     plain_cols = [h for h in header if h != "adjusted_precision"]
 
-    def _print_row(epoch, it, metrics):
-        row = [float(metrics[h]) for h in plain_cols]
+    def _print_row(epoch, it, packed):
+        # one host fetch for the whole row (each scalar fetch is a full
+        # link round-trip; at 3 ms/step the RTT would otherwise dominate)
+        row = [float(v) for v in np.asarray(packed)]
         row.insert(prec_idx + 1, row[prec_idx] / est_max_prec)
         print(f"{epoch}\t{it}\ttrain\t" + "\t".join(str(v) for v in row)
               + "\t-", file=output, flush=True)
@@ -313,18 +317,25 @@ def train_model(args, output=None):
                 q.put(e)
 
         threading.Thread(target=_producer, daemon=True).start()
-        pending = None  # (epoch, it, device metrics) printed one step late
+        # metric rows print a few steps behind dispatch: the device runs
+        # ahead of the host by up to `depth` steps, hiding the host->device
+        # round-trip behind real compute (the step itself is ~3 ms on v5e)
+        from collections import deque
+
+        depth = int(os.environ.get("TOPAZ_METRIC_LAG", "8"))
+        pending: deque = deque()
         while (item := q.get()) is not None:
             if isinstance(item, BaseException):
                 raise item
             crops, _labels = item
             state, metrics = step_fn(state, crops)
-            if pending is not None:
-                _print_row(*pending)
-            pending = (epoch, it, metrics)
+            pending.append((epoch, it,
+                            jnp.stack([metrics[h] for h in plain_cols])))
+            if len(pending) > depth:
+                _print_row(*pending.popleft())
             it += 1
-        if pending is not None:
-            _print_row(*pending)
+        while pending:
+            _print_row(*pending.popleft())
 
         if test_paths:
             loss, prec, tpr, fpr, auprc = evaluate_model(
