@@ -245,3 +245,16 @@ def test_train_test_split_cli_runs(tmp_path, rng):
     # image lists are written next to the particle file (reference naming)
     for name in ("image_list_train.txt", "image_list_test.txt"):
         assert os.path.exists(tmp_path / name), name
+
+
+def test_cli_denoise_bf16_precision(tmp_path, rng):
+    """topaz denoise --precision bf16 (argv wiring for the fast mode)."""
+    from topaz_tpu.io import mrc
+
+    src = tmp_path / "m.mrc"
+    mrc.write(str(src), rng.normal(0, 1, (96, 96)).astype(np.float32))
+    r = _run_cli(["denoise", "-m", "fcnn", "--precision", "bf16",
+                  "-o", str(tmp_path / "out"), str(src)], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    y, _, _ = mrc.read(str(tmp_path / "out" / "m.mrc"))
+    assert y.shape == (96, 96) and np.isfinite(y).all()

@@ -449,20 +449,30 @@ def train_denoiser(meta, params, train_sampler, val_sampler, loss_fn: str = "L2"
     for epoch in range(num_epochs):
         gamma = 2 - (epoch - 1) * 2 / num_epochs if gamma_annealed else 2.0
 
-        n, train_loss = 0, 0.0
+        # losses stay on device until epoch end (one packed fetch): a
+        # per-step float() would cost a host round-trip per step, which
+        # dominates the ~ms step on a high-latency link
+        losses, weights = [], []
         for src, tgt in train_sampler.batches(batch_size, shuffle=True):
             params, opt_state, loss = train_step(
                 params, opt_state, _put(src), _put(tgt), gamma)
-            b = src.shape[0]
-            n += b
-            train_loss += b * (float(loss) - train_loss) / n
+            losses.append(loss)
+            weights.append(src.shape[0])
 
-        n, val_loss = 0, 0.0
+        def _weighted_mean(losses, weights):
+            if not losses:
+                return 0.0
+            vals = np.asarray(jnp.stack(losses), dtype=np.float64)
+            w = np.asarray(weights, dtype=np.float64)
+            return float((vals * w).sum() / w.sum())
+
+        train_loss = _weighted_mean(losses, weights)
+
+        losses, weights = [], []
         for src, tgt in val_sampler.batches(batch_size, shuffle=False):
-            loss = float(eval_loss(params, _put(src), _put(tgt), gamma))
-            b = src.shape[0]
-            n += b
-            val_loss += b * (loss - val_loss) / n
+            losses.append(eval_loss(params, _put(src), _put(tgt), gamma))
+            weights.append(src.shape[0])
+        val_loss = _weighted_mean(losses, weights)
 
         if val_loss < best_val:
             best_val = val_loss
