@@ -302,3 +302,76 @@ def test_normalize_batched_mesh_matches_single_device(tmp_path, rng):
         b, _, _ = mrc.read(str(tmp_path / "single_aff" / f"m{i}.mrc"))
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_normalize_mesh_non_divisible_batch(tmp_path, rng):
+    """normalize -d -2 with a --batch-size that does not divide the device
+    count shrinks the mesh to a divisor instead of crashing in the sharded
+    device_put (regression: mesh was built over ALL devices)."""
+    import json
+
+    from topaz_tpu.io import mrc
+
+    paths = []
+    for i in range(6):
+        img = rng.normal(1.0, 2.0, (64, 64)).astype(np.float32)
+        p = tmp_path / f"m{i}.mrc"
+        _write_mrc(p, img)
+        paths.append(str(p))
+
+    # 6 % 8 != 0 on the virtual 8-device mesh
+    run_cli(["normalize", "-d", "-2", "--batch-size", "6", "--metadata",
+             "-o", str(tmp_path / "mesh")] + paths)
+    run_cli(["normalize", "--sample", "1", "--metadata",
+             "-o", str(tmp_path / "single")] + paths)
+    for i in range(6):
+        a, _, _ = mrc.read(str(tmp_path / "mesh" / f"m{i}.mrc"))
+        b, _, _ = mrc.read(str(tmp_path / "single" / f"m{i}.mrc"))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+        with open(tmp_path / "mesh" / f"m{i}.metadata.json") as fh:
+            ma = json.load(fh)
+        with open(tmp_path / "single" / f"m{i}.metadata.json") as fh:
+            mb = json.load(fh)
+        np.testing.assert_allclose(ma["mu"], mb["mu"], rtol=1e-4, atol=1e-5)
+
+
+def test_extract_mesh_fallback_warns(tmp_path, rng, capsys):
+    """extract -d -2 outside the batched fast path (here: explicit patch
+    scoring) falls back to single-device scoring WITH a warning
+    (regression: silent degrade)."""
+    from topaz_tpu.io import mrc
+
+    img = rng.normal(0, 1, (128, 128)).astype(np.float32)
+    p = tmp_path / "mic.mrc"
+    mrc.write(str(p), img)
+    out = tmp_path / "picks.txt"
+    run_cli(["extract", "-m", "resnet8_u32", "-r", "14", "-t", "-6",
+             "-d", "-2", "-p", "96", "-o", str(out), str(p)])
+    err = capsys.readouterr().err
+    assert "falling back to single-device scoring" in err
+    assert out.exists()
+
+
+def test_denoise2d_mesh_halo_bf16(tmp_path, rng):
+    """-d -2 with --precision bf16 runs the halo-sharded path (regression:
+    bf16 silently dropped to one whole-image device program) and stays
+    close to the f32 halo result."""
+    from topaz_tpu.denoise import Denoise
+
+    devices = _all_devices()
+    img = rng.normal(0, 2, (256, 128)).astype(np.float32)
+
+    d32 = Denoise("fcnn", devices=devices)
+    dbf = Denoise("fcnn", devices=devices, dtype="bf16")
+    y32 = d32._apply(img)
+    ybf = dbf._apply(img)
+    assert ybf.dtype == np.float32
+    # bf16 mantissa ~8 bits: expect ~1% agreement
+    err = np.abs(ybf - y32) / (np.abs(y32).mean() + 1e-6)
+    assert float(err.mean()) < 2e-2
+
+
+def _all_devices():
+    import jax
+
+    return jax.devices()

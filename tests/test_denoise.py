@@ -379,5 +379,5 @@ def test_denoise_bf16_fast_mode(rng):
     assert y16.dtype == np.float32
     scale = np.abs(y32).mean() + 1e-6
     assert np.mean(np.abs(y32 - y16)) / scale < 0.05
-    # the halo path stays on the exact f32 implementation
+    # without a multi-device mesh the halo path declines (devices=None)
     assert b16._apply_halo(x) is None

@@ -99,3 +99,42 @@ def test_convert_empty_after_threshold(tmp_path):
     run_cli(["convert", "-t", "100", "-o", str(dst), str(src)])
     table = pd.read_csv(dst, sep="\t")
     assert len(table) == 0
+
+
+def test_auto_patch_size_padding_exceeds_envelope():
+    """auto_patch_size with padding too large for the HBM-safe extent fails
+    fast with guidance instead of crashing with None[1] or falling back to
+    a patch that would OOM."""
+    import pytest
+
+    from topaz_tpu.denoise import auto_patch_size
+
+    for padding in (128, 500):  # 500 = the 2D default, a plausible mistake
+        with pytest.raises(ValueError, match="lower -p or pass an explicit"):
+            auto_patch_size((192, 384, 384), padding=padding)
+
+    # the largest supported padding still resolves
+    s = auto_patch_size((192, 384, 384), padding=112)
+    assert isinstance(s, int) and s >= 1 and (s + 224) % 32 == 0
+
+
+def test_window_batches_pads_partial():
+    from topaz_tpu.utils.batching import window_batches
+
+    items = list(range(5))
+    batches = list(window_batches(items, lambda x: x * 10, 2, 4))
+    assert [c for c, _, _ in batches] == [[0, 1], [2, 3], [4]]
+    assert [n for _, n, _ in batches] == [2, 2, 1]
+    assert batches[-1][2] == [40, 40]  # padded by repetition
+
+
+def test_valid_mask_2d_3d():
+    import numpy as np
+
+    from topaz_tpu.utils.batching import valid_mask
+
+    m = np.asarray(valid_mask((4, 6), np.array([[2, 3], [4, 6]])))
+    assert m.shape == (2, 4, 6)
+    assert m[0].sum() == 6 and m[1].all()
+    m3 = np.asarray(valid_mask((2, 3, 4), np.array([[1, 2, 3]])))
+    assert m3.sum() == 6

@@ -19,7 +19,7 @@ def add_arguments(parser=None):
     parser.add_argument("-a", "--alpha", default=900, type=float, help="alpha parameter of the beta distribution prior on the mixing proportion (default: 900)")
     parser.add_argument("-b", "--beta", default=1, type=float, help="beta parameter of the beta distribution prior on the mixing proportion (default: 1)")
     parser.add_argument("--metadata", action="store_true", help="if set, save parameter metadata for each micrograph")
-    parser.add_argument("-d", "--device", default=-1, type=int, help="compute device; -2 batches micrographs and shards the GMM fits over ALL devices via the device mesh (default: -1)")
+    parser.add_argument("-d", "--device", default=-1, type=int, help="compute device; -1 uses the default device, -2 batches micrographs and shards the GMM fits over ALL devices via the device mesh (default: -1)")
     parser.add_argument("--batch-size", default=1, type=int, help="fit this many micrographs per device program (shape-bucketed + masked); >1 batches even on one device, -d -2 implies the device count (default: 1)")
     parser.add_argument("-t", "--num-workers", type=int, default=0, help="number of parallel processes (compatibility flag; per-image fits run on the accelerator)")
     parser.add_argument("-j", "--num-threads", type=int, default=0, help="number of host threads (compatibility flag)")
@@ -30,6 +30,10 @@ def add_arguments(parser=None):
 
 
 def main(args):
+    if args.device >= 0:  # pin single-device runs to the requested chip
+        from topaz_tpu.parallel.devices import resolve_devices
+
+        resolve_devices(args.device)
     formats = args.format_.split(",")
     if args.device == -2 or args.batch_size > 1:
         import sys
@@ -38,12 +42,14 @@ def main(args):
 
         mesh = None
         if args.device == -2:
-            import jax
+            from topaz_tpu.parallel.devices import (data_mesh_for,
+                                                    resolve_devices)
 
-            if len(jax.devices()) > 1:
-                from topaz_tpu.parallel.mesh import make_mesh
-
-                mesh = make_mesh(n_space=1)
+            devices = resolve_devices(args.device)
+            # shrink the mesh to a device count that divides the batch —
+            # sharded device_put requires divisibility
+            bs = args.batch_size if args.batch_size > 1 else len(devices)
+            mesh = data_mesh_for(devices, bs, warn=True)
         if args.sample > 1:
             print("# batched normalization fits all valid pixels; --sample "
                   "subsampling is a CPU-only workaround and is ignored "

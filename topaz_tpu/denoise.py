@@ -61,6 +61,13 @@ class Denoise:
         self.devices = devices
         self._jit_cache: Dict = {}
         self.dtype = dtype
+        if dtype not in ("bf16", "bfloat16"):
+            # place the weights on device ONCE: the cached jitted programs
+            # take params as an argument, and numpy-tree arguments would be
+            # re-uploaded host->device on every call
+            import jax
+
+            self.params = jax.device_put(self.params)
         if dtype in ("bf16", "bfloat16"):
             # opt-in fast mode: params + activations in bfloat16, output
             # cast back to f32. Measured on v5e at 4096^2: 408 -> 319 ms
@@ -93,13 +100,6 @@ class Denoise:
     _MIN_HALO_BLOCK = 32
 
     def _apply_halo(self, x: np.ndarray):
-        # the halo scorer builds its own apply fn from meta/params and is
-        # not wired for the bf16 fast mode; keep it on the exact path
-        if self.dtype in ("bf16", "bfloat16"):
-            return None
-        return self._apply_halo_impl(x)
-
-    def _apply_halo_impl(self, x: np.ndarray):
         """Whole-image denoising with rows (or z-slabs for 3D) sharded over
         a 'space' mesh; ppermute halo exchange + global-stat psum
         (parallel/mesh.py:122-181). Shrinks the shard count for small
@@ -126,7 +126,7 @@ class Denoise:
             mesh = make_mesh(n_data=1, n_space=n, devices=self.devices[:n])
             self._jit_cache[key] = make_halo_denoiser(
                 self.meta, self.params, mesh, halo=halo,
-                precision=self.precision)
+                precision=self.precision, dtype=self.dtype)
         y = np.asarray(self._jit_cache[key](jnp.asarray(xp)))
         return y[: x.shape[0]]
 
@@ -190,7 +190,6 @@ class Denoise:
         if key not in self._jit_cache:
             dims = self.dims
 
-            @jax.jit
             def fn(params, xb):
                 axes = tuple(range(1, 1 + dims))
                 mu = jnp.mean(xb, axis=axes, keepdims=True)
@@ -200,7 +199,14 @@ class Denoise:
                                   precision=self.precision)[..., 0]
                 return y * std + mu
 
-            self._jit_cache[key] = fn
+            # frame batches shard over the mesh's data axis when -d -2
+            # selected several devices (same idiom as the 3D patch path)
+            from topaz_tpu.parallel.devices import data_mesh_for
+            from topaz_tpu.parallel.mesh import jit_sharded_args
+
+            mesh = data_mesh_for(self.devices, frames.shape[0])
+            self._jit_cache[key] = jit_sharded_args(fn, mesh,
+                                                    ("rep", "data"))
         return np.asarray(self._jit_cache[key](self.params,
                                                jnp.asarray(frames)))
 
@@ -225,8 +231,8 @@ def auto_patch_size(shape, padding: int = 48, max_extent: int = 256,
     the larger patch (fewer dispatches)."""
     best = None
     s0 = (-2 * padding) % align
-    if s0 == 0:
-        s0 = align
+    while s0 < align:  # patches below one MXU tile are pure overlap tax
+        s0 += align
     for s in range(s0, max_extent - 2 * padding + 1, align):
         d = s + 2 * padding
         n_patches = 1
@@ -235,6 +241,16 @@ def auto_patch_size(shape, padding: int = 48, max_extent: int = 256,
         cost = n_patches * d**3
         if best is None or cost < best[0] or (cost == best[0] and s > best[1]):
             best = (cost, s)
+    if best is None:
+        # padding so large that EVERY patch's padded extent exceeds the
+        # HBM-safe cap (2*padding >= max_extent): any fallback would
+        # process >= max_extent^3 voxels per patch at an enormous overlap
+        # tax and OOM mid-run — fail fast with actionable guidance instead
+        raise ValueError(
+            f"--auto-patch cannot satisfy padding {padding}: the padded "
+            f"patch extent would exceed the HBM-safe limit {max_extent} "
+            f"(largest supported padding is {(max_extent - align) // 2}); "
+            f"lower -p or pass an explicit patch size with -s")
     return best[1]
 
 
@@ -290,16 +306,10 @@ class Denoise3D(Denoise):
                                   precision=self.precision)[..., 0]
                 return y * s2 + m2
 
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+            from topaz_tpu.parallel.mesh import jit_sharded_args
 
-                self._jit_cache[key] = jax.jit(
-                    fn,
-                    in_shardings=(NamedSharding(mesh, P()),
-                                  NamedSharding(mesh, P("data"))),
-                )
-            else:
-                self._jit_cache[key] = jax.jit(fn)
+            self._jit_cache[key] = jit_sharded_args(fn, mesh,
+                                                    ("rep", "data"))
         fn = self._jit_cache[key]
 
         def extract_patch(i, j, k):
@@ -371,7 +381,7 @@ def train_denoiser(meta, params, train_sampler, val_sampler, loss_fn: str = "L2"
     # noise2noise training batches sharded over the mesh's data axis —
     # the reference wraps the model in DataParallel BEFORE training
     # (topaz/commands/denoise3d.py:103); gradients psum over devices
-    mesh = data_mesh_for(devices, batch_size)
+    mesh = data_mesh_for(devices, batch_size, warn=True)
 
     output, log = sys.stdout, sys.stderr
     digits = int(np.ceil(np.log10(max(num_epochs, 2))))
@@ -603,15 +613,15 @@ def denoise_stack(path: str, output_path: str, models: List[Denoise],
             if n_real < B and start > 0:  # reuse the compiled full batch
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], B - n_real, axis=0)])
-            mu = chunk.mean(axis=(1, 2), keepdims=True)
-            std = chunk.std(axis=(1, 2), keepdims=True)
-            out = model.denoise_batch((chunk - mu) / std)
+            # denoise_batch standardizes and restores per-frame statistics
+            # on device; feeding raw frames avoids a redundant host-side
+            # full-frame stats pass (standardizing the output below is
+            # invariant under the per-frame affine restore)
+            out = model.denoise_batch(chunk)
             if normalize:
                 m2 = out.mean(axis=(1, 2), keepdims=True)
                 s2 = out.std(axis=(1, 2), keepdims=True)
                 out = (out - m2) / s2
-            else:
-                out = out * std + mu
             denoised[start : start + n_real] = out[:n_real]
             print(f"# {min(start + n_real, len(stack))} of {len(stack)} "
                   f"completed.", file=sys.stderr, end="\r")

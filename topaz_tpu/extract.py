@@ -192,11 +192,12 @@ def extract_particles(
     report("Beginning extraction")
     paths = list(paths) if paths else list(stream_inputs(sys.stdin))
 
+    from topaz_tpu.parallel.devices import resolve_devices
+
+    resolved = resolve_devices(device)  # pins -d N; resolves the mesh set
     devices = None
     if device == -2:
-        from topaz_tpu.parallel.devices import resolve_devices
-
-        devices = resolve_devices(device)
+        devices = resolved
         if batch_size <= 1:
             batch_size = len(devices)
     stream: Iterable[Tuple[str, np.ndarray]] = score_images(
@@ -219,6 +220,11 @@ def extract_particles(
             per_micrograph, suffix, out_format, up_scale, down_scale,
             verbose, precision, devices,
         )
+    if devices is not None and len(devices) > 1:
+        print("# WARNING: -d -2 multi-device scoring needs the batched "
+              "fast path (2D, a model, an explicit radius >= 0, and no "
+              "--targets/--only-validate/--patch-size); falling back to "
+              "single-device scoring", file=sys.stderr)
 
     if targets is not None:
         scores = {k: v for k, v in stream}
@@ -308,7 +314,7 @@ def _extract_batched(paths, model, threshold, radius, batch_size, output,
     from topaz_tpu.parallel.devices import data_mesh_for
     from topaz_tpu.pipeline import MicrographPipeline
 
-    mesh = data_mesh_for(devices, batch_size)
+    mesh = data_mesh_for(devices, batch_size, warn=True)
     if mesh is not None:
         report(f"Batched scoring sharded over {mesh.shape['data']} devices")
     pipe = MicrographPipeline(model=model, scale=1, radius=radius,

@@ -5,9 +5,14 @@ Maps the reference's ``-d/--device`` convention onto JAX devices:
   * ``-2`` -> ALL visible devices (the reference's multi-GPU mode,
     topaz/commands/denoise3d.py:62-85 -> nn.DataParallel at :103,118; here
     it selects a jax.sharding.Mesh scale-out instead)
-  * ``-1`` -> CPU (topaz/cuda.py:16-32 semantics)
-  * ``N >= 0`` -> device N, with a warning fallback to device 0 when out of
-    range (topaz/cuda.py:24-30 falls back to CPU with a warning)
+  * ``-1`` -> the default backend device. Documented divergence: the
+    reference maps -1 to CPU (topaz/cuda.py:16-32) because CPU torch is its
+    no-GPU fallback; here the accelerator IS the default backend and
+    silently forcing CPU would be a large perf footgun. Run with
+    ``JAX_PLATFORMS=cpu`` to force CPU execution.
+  * ``N >= 0`` -> device N, pinned via ``jax_default_device`` so ALL
+    subsequent dispatches land on it; warning fallback to device 0 when out
+    of range (topaz/cuda.py:24-30 falls back to CPU with a warning)
 
 Multi-host: the reference has no distributed backend at all (SURVEY 2.8).
 Here ``maybe_distributed_init`` wires ``jax.distributed.initialize`` from
@@ -68,34 +73,45 @@ def resolve_devices(device: int) -> List:
 
     import jax
 
-    if device == -1:
-        try:
-            return jax.devices("cpu")[:1]
-        except RuntimeError:
-            print("# WARNING: no CPU backend available, falling back to "
-                  "default device", file=sys.stderr)
-            return jax.devices()[:1]
-
-    devices = jax.devices()
-    if device == -2:
-        return devices
-    if device >= len(devices):
+    if device == -1:  # auto: default backend device, no pinning needed
+        return jax.local_devices()[:1]
+    if device == -2:  # all devices, across hosts when distributed
+        return jax.devices()
+    # a specific index addresses THIS process's devices — in multi-host
+    # mode jax.devices() entries can belong to other processes and cannot
+    # be pinned here
+    local = jax.local_devices()
+    if device >= len(local):
         print(f"# WARNING: device {device} not available, falling back to "
-              f"device 0 ({len(devices)} device(s) visible)", file=sys.stderr)
+              f"device 0 ({len(local)} local device(s))", file=sys.stderr)
         device = 0
-    return [devices[device]]
+    # pin so every later jit/device_put in the command lands on this chip
+    # (otherwise a specific -d N would be a silent no-op outside the mesh
+    # paths — all single-device compute uses the backend default)
+    jax.config.update("jax_default_device", local[device])
+    return [local[device]]
 
 
-def data_mesh_for(devices, batch_size: Optional[int] = None):
+def data_mesh_for(devices, batch_size: Optional[int] = None,
+                  warn: bool = False):
     """A 'data'-axis mesh over ``devices``, shrunk to the largest device
     count that divides ``batch_size`` (jit sharding needs the batch axis
-    divisible by the mesh axis). Returns None when one device remains."""
+    divisible by the mesh axis). Returns None when one device remains.
+
+    ``warn`` prints a note when the mesh shrinks — pass True only from
+    sites where ``batch_size`` is a user-controlled flag (internal
+    micro-batches would make the advice unactionable)."""
     if devices is None or len(devices) < 2:
         return None
     n = len(devices)
     if batch_size is not None:
         while n > 1 and batch_size % n != 0:
             n -= 1
+    if warn and n < len(devices):
+        print(f"# note: batch size {batch_size} is not divisible by "
+              f"{len(devices)} devices; using {max(n, 1)} "
+              f"(pick a batch size that is a multiple of the device count "
+              f"to use every chip)", file=sys.stderr)
     if n < 2:
         return None
 

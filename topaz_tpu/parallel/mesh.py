@@ -38,6 +38,27 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def jit_sharded_args(fn, mesh: Optional[Mesh], specs):
+    """jit ``fn`` with each positional arg replicated (``"rep"``) or sharded
+    over the mesh's data axis (``"data"``); plain ``jax.jit`` when ``mesh``
+    is None. The returned callable device_puts every argument to its
+    sharding so host arrays land already-sharded instead of being uploaded
+    to one device and resharded. Single home for the mesh-or-not jit idiom
+    used by the batched denoise/normalize/pipeline paths."""
+    if mesh is None:
+        return jax.jit(fn)
+    shardings = tuple(
+        NamedSharding(mesh, P("data") if s == "data" else P())
+        for s in specs)
+    jitted = jax.jit(fn, in_shardings=shardings)
+
+    def run(*args):
+        return jitted(*(jax.device_put(a, s)
+                        for a, s in zip(args, shardings)))
+
+    return run
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     """Fully replicated sharding on the mesh."""
     return NamedSharding(mesh, P())
@@ -127,7 +148,7 @@ def make_halo_dense_scorer(spec, params, state, mesh: Mesh, precision=None):
 
 
 def make_halo_denoiser(meta: Dict, params, mesh: Mesh, halo: int = 256,
-                       precision=None):
+                       precision=None, dtype=None):
     """Denoise ONE large micrograph with rows sharded over the mesh's
     ``space`` axis.
 
@@ -147,6 +168,9 @@ def make_halo_denoiser(meta: Dict, params, mesh: Mesh, halo: int = 256,
     dims = meta.get("dims", 2)
     axis = "space"
     n_shards = mesh.shape[axis]
+    # opt-in bf16 fast mode (matches Denoise's single-device fast path):
+    # activations cast to bfloat16 around the net, statistics kept in f32
+    bf16 = dtype in ("bf16", "bfloat16")
 
     def shard_fn(block):  # (H/n, W) for 2D; (D/n, H, W) for 3D
         # global statistics over the whole image
@@ -172,9 +196,11 @@ def make_halo_denoiser(meta: Dict, params, mesh: Mesh, halo: int = 256,
         bottom_halo = jnp.where(idx < n_shards - 1, bottom_halo,
                                 jnp.zeros_like(bottom_halo))
         xn = jnp.concatenate([top_halo, bn, bottom_halo], axis=0)
+        if bf16:
+            xn = xn.astype(jnp.bfloat16)
         y = apply_fn(params, xn[None, ..., None], dims=dims,
                      precision=precision)[0, ..., 0]
-        return y[halo:-halo] * std + mu
+        return y[halo:-halo].astype(block.dtype) * std + mu
 
     # shard the leading spatial axis (rows for 2D, z for 3D)
     spec_in = P(*((axis,) + (None,) * (dims - 1)))

@@ -101,8 +101,9 @@ class MicrographPipeline:
         return raw_shape
 
     def _bucket_for(self, ds_shape: Tuple[int, int]) -> Tuple[int, int]:
-        step = self.bucket_step
-        return (-(-ds_shape[0] // step) * step, -(-ds_shape[1] // step) * step)
+        from topaz_tpu.utils.batching import round_bucket
+
+        return round_bucket(ds_shape, self.bucket_step)
 
     # -- compiled per-bucket programs ---------------------------------------
 
@@ -130,12 +131,11 @@ class MicrographPipeline:
         normalize = self.normalize
         bins = self.bins
 
+        from topaz_tpu.utils.batching import valid_mask
+
         def fn(padded, valid):  # (B, bh, bw) post-downsample, valid (B, 2)
             B = padded.shape[0]
-            rows = jnp.arange(bh)[None, :, None]
-            cols = jnp.arange(bw)[None, None, :]
-            mask = (rows < valid[:, 0, None, None]) & \
-                   (cols < valid[:, 1, None, None])
+            mask = valid_mask((bh, bw), valid)
             maskf = mask.astype(padded.dtype)
             if normalize:
                 if bins > 0:
@@ -183,18 +183,9 @@ class MicrographPipeline:
                 out = out + (den,)
             return out
 
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        from topaz_tpu.parallel.mesh import jit_sharded_args
 
-            sharding = NamedSharding(self.mesh, P("data"))
-            jitted = jax.jit(fn, in_shardings=(sharding, sharding))
-
-            def run(batch_arr, valid):
-                return jitted(jax.device_put(batch_arr, sharding),
-                              jax.device_put(valid, sharding))
-
-            return run
-        return jax.jit(fn)
+        return jit_sharded_args(fn, self.mesh, ("data", "data"))
 
     def _fn_for(self, bucket: Tuple[int, int], batch: int):
         key = (bucket, batch)
@@ -270,43 +261,25 @@ class MicrographPipeline:
         # background loader keeps the device fed; errors propagate to the
         # consumer instead of hanging it
         def load_batches(out_q):
-            from collections import deque
-            from concurrent.futures import ThreadPoolExecutor
+            from topaz_tpu.utils.batching import window_batches
 
             try:
-                with ThreadPoolExecutor(self.num_workers) as ex:
-                    for bucket, items in buckets.items():
-                        window = batch_size * (prefetch + 1)
-                        futs: deque = deque()
-                        nxt = 0
-
-                        def fill(nxt):
-                            while nxt < len(items) and len(futs) < window:
-                                futs.append(ex.submit(
-                                    self._load_one, items[nxt][0], bucket))
-                                nxt += 1
-                            return nxt
-
-                        nxt = fill(nxt)
-                        for start in range(0, len(items), batch_size):
-                            chunk = items[start : start + batch_size]
-                            loaded = []
-                            for _ in range(len(chunk)):
-                                loaded.append(futs.popleft().result())
-                                nxt = fill(nxt)
-                            n_real = len(loaded)
-                            while len(loaded) < batch_size:
-                                loaded.append(loaded[-1])  # pad partial batch
-                            valid = np.array(
-                                [self._ds_shape(rs) for _, rs in chunk]
-                                + [self._ds_shape(chunk[-1][1])]
-                                * (batch_size - n_real),
-                                dtype=np.int32)
-                            if self.scale > 1 and not self.host_downsample:
-                                payload = loaded  # raws; device prep next
-                            else:
-                                payload = np.stack(loaded)
-                            out_q.put((bucket, chunk, n_real, payload, valid))
+                for bucket, items in buckets.items():
+                    for chunk, n_real, loaded in window_batches(
+                            items,
+                            lambda it, b=bucket: self._load_one(it[0], b),
+                            batch_size, batch_size * (prefetch + 1),
+                            num_workers=self.num_workers):
+                        valid = np.array(
+                            [self._ds_shape(rs) for _, rs in chunk]
+                            + [self._ds_shape(chunk[-1][1])]
+                            * (batch_size - n_real),
+                            dtype=np.int32)
+                        if self.scale > 1 and not self.host_downsample:
+                            payload = loaded  # raws; device prep next
+                        else:
+                            payload = np.stack(loaded)
+                        out_q.put((bucket, chunk, n_real, payload, valid))
                 out_q.put(None)
             except BaseException as e:  # noqa: BLE001
                 out_q.put(e)

@@ -117,14 +117,15 @@ def normalize_images_batched(
     """
     import queue as _queue
     import threading
-    from collections import defaultdict, deque
-    from concurrent.futures import ThreadPoolExecutor
+    from collections import defaultdict
 
     import jax
     import jax.numpy as jnp
 
     from topaz_tpu.ops.gmm import norm_fit, norm_fit_hist
     from topaz_tpu.pipeline import _image_shape
+    from topaz_tpu.utils.batching import (round_bucket, valid_mask,
+                                          window_batches)
 
     formats = formats or ["mrc"]
     os.makedirs(dest, exist_ok=True)
@@ -137,13 +138,9 @@ def normalize_images_batched(
             return (int(shape[0] / scale), int(shape[1] / scale))
         return tuple(shape)
 
-    def bucket_for(shape):
-        return (-(-shape[0] // bucket_step) * bucket_step,
-                -(-shape[1] // bucket_step) * bucket_step)
-
     buckets = defaultdict(list)
     for p in paths:
-        buckets[bucket_for(ds_shape(_image_shape(p)))].append(p)
+        buckets[round_bucket(ds_shape(_image_shape(p)), bucket_step)].append(p)
 
     fns = {}
 
@@ -153,11 +150,7 @@ def normalize_images_batched(
         bh, bw = bucket
 
         def fit_batch(padded, valid):
-            rows = jnp.arange(bh)[None, :, None]
-            cols = jnp.arange(bw)[None, None, :]
-            mask = ((rows < valid[:, 0, None, None])
-                    & (cols < valid[:, 1, None, None]))
-            maskf = mask.astype(padded.dtype)
+            maskf = valid_mask((bh, bw), valid).astype(padded.dtype)
             B = padded.shape[0]
             xf, wf = padded.reshape(B, -1), maskf.reshape(B, -1)
             if affine:
@@ -178,19 +171,9 @@ def normalize_images_batched(
             out = (padded - mu[:, None, None]) / std[:, None, None] * maskf
             return (out,) + tuple(stats)
 
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        from topaz_tpu.parallel.mesh import jit_sharded_args
 
-            sharding = NamedSharding(mesh, P("data"))
-            jitted = jax.jit(fit_batch, in_shardings=(sharding, sharding))
-
-            def run(arr, valid):
-                return jitted(jax.device_put(arr, sharding),
-                              jax.device_put(valid, sharding))
-
-            fns[bucket] = run
-        else:
-            fns[bucket] = jax.jit(fit_batch)
+        fns[bucket] = jit_sharded_args(fit_batch, mesh, ("data", "data"))
         return fns[bucket]
 
     def load_one(path, bucket):
@@ -208,35 +191,16 @@ def normalize_images_batched(
 
     def produce(out_q):
         try:
-            with ThreadPoolExecutor(max(1, num_workers)) as ex:
-                for bucket, items in buckets.items():
-                    window = batch_size + max(1, num_workers)
-                    futs: deque = deque()
-                    nxt = 0
-
-                    def fill(nxt):
-                        while nxt < len(items) and len(futs) < window:
-                            futs.append(ex.submit(load_one, items[nxt],
-                                                  bucket))
-                            nxt += 1
-                        return nxt
-
-                    nxt = fill(nxt)
-                    for start in range(0, len(items), batch_size):
-                        chunk = items[start : start + batch_size]
-                        loaded = []
-                        for _ in range(len(chunk)):
-                            loaded.append(futs.popleft().result())
-                            nxt = fill(nxt)
-                        n_real = len(loaded)
-                        while len(loaded) < batch_size:
-                            loaded.append(loaded[-1])
-                        arr = np.stack([l[0] for l in loaded])
-                        valid = np.array([l[1] for l in loaded],
-                                         dtype=np.int32)
-                        out_q.put((bucket, chunk, n_real, arr, valid,
-                                   [l[2] for l in loaded],
-                                   [l[3] for l in loaded]))
+            for bucket, items in buckets.items():
+                for chunk, n_real, loaded in window_batches(
+                        items, lambda p, b=bucket: load_one(p, b),
+                        batch_size, batch_size + max(1, num_workers),
+                        num_workers=num_workers):
+                    arr = np.stack([l[0] for l in loaded])
+                    valid = np.array([l[1] for l in loaded], dtype=np.int32)
+                    out_q.put((bucket, chunk, n_real, arr, valid,
+                               [l[2] for l in loaded],
+                               [l[3] for l in loaded]))
             out_q.put(None)
         except BaseException as e:  # noqa: BLE001
             out_q.put(e)
@@ -301,30 +265,16 @@ def normalize_images(
     The reference fans out to a process pool (stats.py:347-348); here the
     GMM runs on the accelerator, so the host only needs a small prefetch
     window of loader threads to keep disk reads off the critical path."""
-    from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
+    from topaz_tpu.utils.batching import window_batches
 
     os.makedirs(dest, exist_ok=True)
-    with ThreadPoolExecutor(max(1, num_workers)) as ex:
-        window = max(1, num_workers) + 1
-        futs: deque = deque()
-        nxt = 0
-
-        def fill(nxt):
-            while nxt < len(paths) and len(futs) < window:
-                futs.append(ex.submit(load_image, paths[nxt],
-                                      return_header=True))
-                nxt += 1
-            return nxt
-
-        nxt = fill(nxt)
-        for path in paths:
-            loaded = futs.popleft().result()
-            nxt = fill(nxt)
-            name = normalize_file(
-                path, dest, scale=scale, affine=affine, num_iters=num_iters,
-                alpha=alpha, beta=beta, sample=sample, metadata=metadata,
-                formats=formats, bins=bins, loaded=loaded,
-            )
-            if verbose:
-                print("# processed:", name, file=sys.stderr)
+    for (path,), _, (loaded,) in window_batches(
+            list(paths), lambda p: load_image(p, return_header=True),
+            1, max(1, num_workers) + 1, num_workers=num_workers):
+        name = normalize_file(
+            path, dest, scale=scale, affine=affine, num_iters=num_iters,
+            alpha=alpha, beta=beta, sample=sample, metadata=metadata,
+            formats=formats, bins=bins, loaded=loaded,
+        )
+        if verbose:
+            print("# processed:", name, file=sys.stderr)

@@ -267,14 +267,21 @@ def train_model(args, output=None):
             header[:2] + ["recon_error"] + header[2:]
         report(f"Generator: units={args.ngf}, size={gen_width}")
 
-    # -d -2: data-parallel over the device mesh (grad psum inserted by XLA)
+    # -d -2: data-parallel over the device mesh (grad psum inserted by XLA);
+    # -d N pins single-device training to that chip
     mesh = None
-    if getattr(args, "device", 0) == -2:
+    dev_flag = getattr(args, "device", 0)
+    if dev_flag == -2:
         from topaz_tpu.parallel.devices import data_mesh_for, resolve_devices
 
-        mesh = data_mesh_for(resolve_devices(-2), args.minibatch_size)
+        mesh = data_mesh_for(resolve_devices(-2), args.minibatch_size,
+                             warn=True)
         if mesh is not None:
             report(f"Data-parallel training over {mesh.shape['data']} devices")
+    elif dev_flag >= 0:
+        from topaz_tpu.parallel.devices import resolve_devices
+
+        resolve_devices(dev_flag)
 
     optimizer = make_optimizer(args.learning_rate, "adam")
     step_fn = make_train_step(spec, loss_fn, optimizer, n_pos, l2=args.l2,

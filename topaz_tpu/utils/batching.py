@@ -1,0 +1,84 @@
+"""Shared shape-bucketing and prefetch-window batching helpers.
+
+The batched pipelines (pipeline.MicrographPipeline, the batched normalize
+workflow, and the plain streaming normalize loop) all group mixed-size
+micrographs into rounded shape buckets, zero-pad each image up to its
+bucket, mask device statistics to the valid region, and keep the device fed
+with a small window of loader-thread futures. This module is the single
+home for those three recurring pieces so the bucket rounding, the
+valid-region mask math, and the window/padding semantics cannot drift
+between copies (reference semantics anchors: masked statistics
+topaz/stats.py:36-83, candidate masking topaz/algorithms.py:25-63).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Iterator, List, Sequence, Tuple
+
+
+def round_bucket(shape: Sequence[int], step: int) -> Tuple[int, ...]:
+    """Round every extent of ``shape`` up to the next multiple of ``step``."""
+    return tuple(-(-int(s) // step) * step for s in shape)
+
+
+def valid_mask(bucket: Sequence[int], valid):
+    """Boolean mask of the valid (unpadded) region of a bucket batch.
+
+    ``bucket`` is the static padded shape; ``valid`` is a ``(B, ndim)``
+    integer array of true per-image extents. Returns a ``(B, *bucket)``
+    bool array, True where the pixel belongs to the real image.
+    """
+    import jax.numpy as jnp
+
+    B = valid.shape[0]
+    ndim = len(bucket)
+    mask = None
+    for d, extent in enumerate(bucket):
+        idx = jnp.arange(extent).reshape(
+            (1,) + (1,) * d + (extent,) + (1,) * (ndim - d - 1))
+        m = idx < valid[:, d].reshape((B,) + (1,) * ndim)
+        mask = m if mask is None else (mask & m)
+    return mask
+
+
+def window_batches(
+    items: List,
+    load_one: Callable,
+    batch_size: int,
+    window: int,
+    num_workers: int = 2,
+) -> Iterator[Tuple[List, int, List]]:
+    """Yield prefetch-loaded batches of ``items``.
+
+    A ``num_workers``-thread pool keeps up to ``window`` ``load_one(item)``
+    futures in flight ahead of the consumer. Yields
+    ``(chunk, n_real, loaded)`` per batch where ``chunk`` are the original
+    items, ``n_real = len(chunk)``, and ``loaded`` is padded to exactly
+    ``batch_size`` entries by repeating the last loaded value so every
+    batch reuses the same compiled program shape.
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    window = max(window, batch_size)
+    with ThreadPoolExecutor(max(1, num_workers)) as ex:
+        futs: "deque" = deque()
+        nxt = 0
+
+        def fill(n: int) -> int:
+            while n < len(items) and len(futs) < window:
+                futs.append(ex.submit(load_one, items[n]))
+                n += 1
+            return n
+
+        nxt = fill(nxt)
+        for start in range(0, len(items), batch_size):
+            chunk = items[start : start + batch_size]
+            loaded = []
+            for _ in range(len(chunk)):
+                loaded.append(futs.popleft().result())
+                nxt = fill(nxt)
+            n_real = len(loaded)
+            while len(loaded) < batch_size:
+                loaded.append(loaded[-1])
+            yield chunk, n_real, loaded
