@@ -232,3 +232,26 @@ def test_relion_pick_wrapper_end_to_end(tmp_path, rng):
         assert (table["CoordinateX"].astype(float) <= 256).all()
         n_picks += len(table)
     assert n_picks >= 4
+
+
+def test_match_coordinates_to_images_3d_mask(rng):
+    """3D volumes rasterize spheres using the z column (regression:
+    z_coord was dropped and (y, x) indexed the (z, y) axes)."""
+    import pandas as pd
+
+    from topaz_tpu.ops.masks import as_mask, match_coordinates_to_images
+
+    vol = rng.normal(size=(12, 16, 20)).astype(np.float32)
+    coords = pd.DataFrame({
+        "image_name": ["v", "v"],
+        "x_coord": [5, 17],
+        "y_coord": [9, 2],
+        "z_coord": [3, 10],
+    })
+    matched = match_coordinates_to_images(coords, {"v": vol}, radius=2)
+    im, mask = matched["v"]
+    expect = as_mask(vol.shape, 2, coords.x_coord.values,
+                     coords.y_coord.values, z_coord=coords.z_coord.values)
+    np.testing.assert_array_equal(mask, expect)
+    assert mask.shape == vol.shape
+    assert mask[3, 9, 5] == 1 and mask[10, 2, 17] == 1

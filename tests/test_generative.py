@@ -77,3 +77,20 @@ def test_training_with_autoencoder(tmp_path, rng):
     assert "recon_error" in log.columns
     assert np.isfinite(log.recon_error.astype(float)).all()
     assert np.isfinite(log.loss.astype(float)).all()
+
+
+def test_conv_transpose_init_scale():
+    """ConvTranspose init bound uses fan_in = cout*k*k (torch semantics:
+    weight.size(1) is the OUTPUT channel axis for transposed convs)."""
+    import jax
+
+    from topaz_tpu.models.generative import init_generator
+
+    params, _ = init_generator(16, jax.random.PRNGKey(0), units=8, depth=2)
+    w0 = np.asarray(params["0"]["w"])  # (k, k, cout, cin) = (4, 4, 32, 16)
+    k, _, cout, cin = w0.shape[0], w0.shape[1], w0.shape[2], w0.shape[3]
+    bound = 1.0 / np.sqrt(cout * k * k)
+    assert np.abs(w0).max() <= bound + 1e-7
+    # and it actually fills the range (not the tighter cin-based bound when
+    # cin > cout, nor a degenerate all-small init)
+    assert np.abs(w0).max() > 0.5 * bound

@@ -100,3 +100,48 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     y1, _ = apply_picker(spec, params, x, state=state, dense=False)
     y2, _ = apply_picker(spec2, params2, x, state=state2, dense=False)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
+
+
+def test_checkpoint_roundtrip_nondefault_activation(tmp_path, rng):
+    """A picker saved with a non-default activation reloads with that
+    activation (regression: _spec_from_meta dropped meta['activation'],
+    silently rebuilding with the arch default)."""
+    import jax
+
+    from topaz_tpu.models.picker import init_picker, make_picker_spec
+
+    spec = make_picker_spec("resnet8", units=8, activation="prelu")
+    params, state = init_picker(spec, jax.random.PRNGKey(0))
+    path = str(tmp_path / "prelu.npz")
+    save_picker(path, spec, params, state)
+    spec2, params2, state2 = load_picker(path)
+    assert spec2 == spec
+    x = rng.normal(size=(1, spec.width, spec.width)).astype(np.float32)
+    y1, _ = apply_picker(spec, params, x, state=state, dense=False)
+    y2, _ = apply_picker(spec2, params2, x, state=state2, dense=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
+
+
+def test_tiled_scoring_reuses_compiled_program(rng):
+    """Tiled scoring caches one jitted program per (spec, precision) so
+    scoring N images does not re-trace N times (regression: fresh jit
+    closure per call)."""
+    import jax
+
+    from topaz_tpu.models.factory import new_picker
+    from topaz_tpu.models.picker import init_picker
+    from topaz_tpu.models.tiling import _score_tiles_fn, predict_in_patches
+
+    _score_tiles_fn.cache_clear()
+    spec, params, state = new_picker("resnet8", units=4, seed=0)
+    a = rng.normal(size=(96, 96)).astype(np.float32)
+    b = rng.normal(size=(96, 96)).astype(np.float32)
+    ya = predict_in_patches(spec, params, state, a, 48, batch_size=2)
+    yb = predict_in_patches(spec, params, state, b, 48, batch_size=2)
+    info = _score_tiles_fn.cache_info()
+    assert info.misses == 1 and info.hits >= 1
+    assert ya.shape == a.shape and yb.shape == b.shape
+    # padded ragged batches leave results identical to whole-image scoring
+    whole, _ = apply_picker(spec, params, a[None], state=state, dense=True)
+    np.testing.assert_allclose(ya, np.asarray(whole[0]), rtol=1e-4,
+                               atol=1e-4)

@@ -44,11 +44,9 @@ def _ensure_converted(stem: str) -> str:
             f"pretrained denoiser weights {stem!r} are unavailable "
             f"(looked for {sav_path})"
         )
-    import torch
+    from topaz_tpu.models.convert import _load_torch, _state_dict_of
 
-    obj = torch.load(sav_path, map_location="cpu", weights_only=False)
-    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
-    sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    sd = _state_dict_of(_load_torch(sav_path))
     meta = infer_denoiser_arch(sd)
     params = denoiser_params_from_state_dict(sd)
     os.makedirs(PRETRAINED_DIR, exist_ok=True)
@@ -56,10 +54,10 @@ def _ensure_converted(stem: str) -> str:
     return npz_path
 
 
-def load_denoiser(name_or_path: str, base_kernel_width: int = 11):
+def load_denoiser(name_or_path: str):
     """Load a denoiser by alias, .npz path, or reference .sav path.
     Returns (meta, params); meta['arch'] keys APPLY_FNS, meta['dims'] is
-    2 or 3."""
+    2 or 3. Arch geometry always comes from the checkpoint itself."""
     if name_or_path in PRETRAINED_DENOISERS:
         try:
             path = _ensure_converted(PRETRAINED_DENOISERS[name_or_path])
@@ -86,11 +84,9 @@ def load_denoiser(name_or_path: str, base_kernel_width: int = 11):
         meta, trees = load_checkpoint(path)
         return meta, trees["params"]
 
-    import torch
+    from topaz_tpu.models.convert import _load_torch, _state_dict_of
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
-    sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    sd = _state_dict_of(_load_torch(path))
     meta = infer_denoiser_arch(sd)
     return meta, denoiser_params_from_state_dict(sd)
 

@@ -38,6 +38,7 @@ def _spec_from_meta(meta: Dict) -> PickerSpec:
         pooling=meta.get("pooling"),
         unit_scaling=meta.get("unit_scaling", 2),
         dims=meta.get("dims", 2),
+        activation=meta.get("activation"),
     )
 
 

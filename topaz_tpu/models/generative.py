@@ -51,8 +51,11 @@ def init_generator(nin: int, rng, units: int = 32, depth: int = 3) -> Dict:
     params: Dict[str, Dict] = {}
 
     def convt(rng, cin, cout, k):
-        # torch ConvTranspose2d default init: kaiming bound 1/sqrt(cin*k*k)
-        bound = 1.0 / np.sqrt(cin * k * k)
+        # torch ConvTranspose2d default init: kaiming_uniform(a=sqrt(5)) with
+        # fan_in = weight.size(1) * k * k — and size(1) is the OUTPUT channel
+        # axis for transposed convs (weight is (Cin, Cout, k, k)), so the
+        # bound is 1/sqrt(cout*k*k), not 1/sqrt(cin*k*k)
+        bound = 1.0 / np.sqrt(cout * k * k)
         return jax.random.uniform(rng, (k, k, cout, cin), jnp.float32,
                                   -bound, bound)
 

@@ -90,7 +90,19 @@ def match_coordinates_to_images(coords: pd.DataFrame, images: dict,
     (topaz/utils/data/coordinates.py:38-64)."""
     nested = "source" in coords
     coords_dict = coordinates_table_to_dict(coords)
-    null = np.zeros((0, 2), dtype=np.int32)
+    dims = 3 if "z_coord" in coords.columns else 2
+    null = np.zeros((0, dims), dtype=np.int32)
+
+    def rasterize(im, c):
+        if radius < 0:
+            return c
+        # 3D volumes rasterize spheres with the z column
+        # (topaz/utils/data/coordinates.py:26-35 dispatches on ndim)
+        if np.ndim(im) == 3 and c.shape[1] >= 3:
+            return as_mask(im.shape, radius, c[:, 0], c[:, 1],
+                           z_coord=c[:, 2])
+        return as_mask(im.shape, radius, c[:, 0], c[:, 1])
+
     matched = {}
     items = images.items()
     if nested:
@@ -99,15 +111,11 @@ def match_coordinates_to_images(coords: pd.DataFrame, images: dict,
             cd = coords_dict.get(source, {})
             for name, im in group.items():
                 c = cd.get(name, null)
-                if radius >= 0:
-                    c = as_mask(im.shape, radius, c[:, 0], c[:, 1])
-                matched[source][name] = (im, c)
+                matched[source][name] = (im, rasterize(im, c))
     else:
         for name, im in items:
             c = coords_dict.get(name, null)
-            if radius >= 0:
-                c = as_mask(im.shape, radius, c[:, 0], c[:, 1])
-            matched[name] = (im, c)
+            matched[name] = (im, rasterize(im, c))
     return matched
 
 

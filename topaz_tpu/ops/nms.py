@@ -229,14 +229,7 @@ def nms_topk_2d(score: jnp.ndarray, r: int, threshold: float, k: int):
     """Fully on-device NMS returning fixed-size top-k results for fused
     pipelines: (scores[k], coords[k, 2] as (x, y), count). Entries past
     ``count`` hold -inf / (-1, -1)."""
-    if _on_tpu() and score.ndim == 2:
-        from topaz_tpu.ops.nms_pallas import disk_max_pallas
-
-        mask = _greedy_rounds(score, threshold,
-                              lambda x, init: disk_max_pallas(x, r, init))
-    else:
-        mask = _greedy_rounds(score, threshold,
-                              lambda x, init: disk_max(x, r, init))
+    mask = nms_mask_2d(score, r, threshold)
     W = score.shape[1]
     flat = jnp.where(mask, score, NEG).ravel()
     vals, idx = lax.top_k(flat, k)
