@@ -101,15 +101,20 @@ def bench_compute(rng) -> float:
     print(f"# bench: compute warmup/compile done in {time.time() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
-    # timed: N micrographs through the full pipeline; force completion by
-    # materializing outputs (the picks fully, one row of the denoised image
-    # to avoid timing the 67MB tunnel fetch as device work)
+    # timed: N micrographs through the full pipeline, dispatched back to
+    # back; completion forced by draining every output at the end (the
+    # picks fully, one row per denoised image so the 67MB tunnel fetch is
+    # not timed as device work). Per-iteration synchronous fetches would
+    # charge one tunnel RTT per micrograph to the device — production
+    # streaming overlaps fetches with compute exactly like this.
     t0 = time.time()
+    outs = []
     for _ in range(N_ITERS):
         scores, coords, count = extract(raw)
         den = denoise(raw)
-        picks = np.asarray(coords)
-        edge = np.asarray(den[:1, :1])
+        outs.append((coords, den[:1, :1]))
+    for coords, edge in outs:
+        _ = np.asarray(coords), np.asarray(edge)
     elapsed = time.time() - t0
     return N_ITERS / elapsed
 
@@ -267,7 +272,9 @@ def main():
                                "fwd+penalty+bwd+Adam (BASELINE config 3)"),
             "note": ("host->device link here is a ~15 MB/s tunnel "
                      "(environment artifact), hence host-side Fourier crop; "
-                     "compute number is methodology-identical to round 1"),
+                     "compute number is round-1 methodology except output "
+                     "fetches drain once at the end instead of per "
+                     "micrograph (removes tunnel RTT from device timing)"),
         },
     }))
 
