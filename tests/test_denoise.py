@@ -381,3 +381,20 @@ def test_denoise_bf16_fast_mode(rng):
     assert np.mean(np.abs(y32 - y16)) / scale < 0.05
     # without a multi-device mesh the halo path declines (devices=None)
     assert b16._apply_halo(x) is None
+
+
+def test_paired_tiles_3d_odd_tilesize(tmp_path, rng):
+    """Odd tilesizes produce exactly tilesize-cubed tiles (regression: the
+    symmetric c±t//2 slice silently yielded (t-1)-tiles)."""
+    from topaz_tpu.io import mrc
+    from topaz_tpu.train.denoise_data import PairedTiles3D
+
+    vol = rng.normal(size=(48, 48, 48)).astype(np.float32)
+    even, odd = str(tmp_path / "even.mrc"), str(tmp_path / "odd.mrc")
+    mrc.write(even, vol)
+    mrc.write(odd, vol + 1)
+    tiles = PairedTiles3D(even, odd, tilesize=11, n_train=6, n_test=2,
+                          seed=0)
+    for x, y in tiles.batches(2, mode="train", shuffle=False):
+        assert x.shape[1:] == (11, 11, 11)
+        assert y.shape[1:] == (11, 11, 11)

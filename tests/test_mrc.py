@@ -85,3 +85,47 @@ def test_memmap_crop(tmp_path, rng):
     c2 = mm.crop(35, 45, 10, 10)
     np.testing.assert_array_equal(c2[:5, :5], x[35:, 45:])
     assert np.all(c2[5:, :] == 0) and np.all(c2[:, 5:] == 0)
+
+
+def test_downsampled_write_rescales_voxel_spacing(tmp_path):
+    """Fourier-crop downsampling keeps the physical cell and rescales mx/my
+    so the recorded voxel spacing (xlen/mx) doubles (regression: nx/ny were
+    pre-replaced, skipping mrc.write's resize branch and leaving stale
+    spacing metadata)."""
+    import numpy as np
+
+    from topaz_tpu.io import mrc
+    from topaz_tpu.io.image import downsample_file
+
+    arr = np.random.default_rng(0).normal(size=(64, 64)).astype(np.float32)
+    p = str(tmp_path / "a.mrc")
+    mrc.write(p, arr)
+    _, h, _ = mrc.read(p)
+    # realistic spacing metadata: 64 px over a 64 A cell -> 1 A/px
+    h = h.replace(mx=64, my=64, xlen=64.0, ylen=64.0)
+    mrc.write(p, arr, header=h)
+
+    out = str(tmp_path / "a_ds.mrc")
+    downsample_file(p, 2, out)
+    small, h2, _ = mrc.read(out)
+    assert small.shape == (32, 32)
+    assert (int(h2.nx), int(h2.ny)) == (32, 32)
+    assert (int(h2.mx), int(h2.my)) == (32, 32)
+    assert float(h2.xlen) == 64.0  # cell unchanged -> spacing now 2 A/px
+
+
+def test_parse_mode16_rgb():
+    """Mode-16 (RGB) files load with a trailing channel axis (the
+    reference's reshape chokes on the subarray dtype, topaz/mrc.py:121)."""
+    import numpy as np
+
+    from topaz_tpu.io import mrc as M
+
+    rgb = np.arange(2 * 4 * 5 * 3, dtype=np.uint8).reshape(2, 4, 5, 3)
+    header = M.default_header((2, 4, 5), dtype=np.float32)
+    raw = header.raw.copy()
+    raw["mode"] = 16
+    content = raw.tobytes() + rgb.tobytes()
+    arr, h, ext = M.parse(content)
+    assert arr.shape == (2, 4, 5, 3)
+    np.testing.assert_array_equal(arr, rgb)

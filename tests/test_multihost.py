@@ -29,14 +29,37 @@ opt = make_optimizer(2e-4)
 tstate = init_train_state(spec, params, state, opt, 0.05, seed=0)
 step = make_dp_train_step(spec, loss_fn, opt, n_pos=4, mesh=mesh)
 
-# every process sees the same global batch definition; each feeds the
-# local half (8 of 16 crops)
-rng = np.random.default_rng(0)
-global_crops = rng.normal(size=(16, 71, 71)).astype(np.float32)
-local = global_crops[jax.process_index() * 8 : (jax.process_index() + 1) * 8]
+# snapshot the initial weights on host — the train step donates its
+# state buffers, deleting the original device arrays
+params = jax.tree_util.tree_map(np.asarray, params)
+state = jax.tree_util.tree_map(np.asarray, state)
+
+# the CLI convention: each process samples its OWN local batch whose
+# first n_pos entries are the labeled positives (training.py sampler)
+rng = np.random.default_rng(jax.process_index())
+local = rng.normal(size=(8, 71, 71)).astype(np.float32)
 tstate, metrics = step(tstate, local)
 loss = float(metrics["loss"])
 assert np.isfinite(loss)
+
+# expected: forward the known global batch through the ORIGINAL params
+# with all positives ordered first and n_pos = 4 * process_count —
+# regression guard for the positional-label bug (only process 0's
+# positives were treated as labeled before)
+from topaz_tpu.models.picker import apply_picker
+from topaz_tpu.train.methods import init_method_state
+import jax.numpy as jnp
+blocks = [np.random.default_rng(p).normal(size=(8, 71, 71)).astype(np.float32)
+          for p in range(2)]
+glob = np.concatenate(blocks)
+perm = np.concatenate([np.arange(0, 4), np.arange(8, 12),
+                       np.arange(4, 8), np.arange(12, 16)])
+score, _ = apply_picker(spec, params, jnp.asarray(glob), state=state,
+                        dense=False, train=True,
+                        dropout_rng=jax.random.PRNGKey(0))
+expected_loss, _, _ = loss_fn(jnp.asarray(score).reshape(-1)[perm], 8,
+                              init_method_state(0.05))
+assert abs(loss - float(expected_loss)) < 1e-4, (loss, float(expected_loss))
 print(f"MHOST-OK proc={jax.process_index()} loss={loss:.6f}", flush=True)
 '''
 

@@ -281,3 +281,27 @@ def test_hyperparameter_flags_parity(rng):
     assert args.entropy_penalty == 0.0
     assert args.ge_momentum == 1.0
     assert args.pu_beta == 0.0
+
+
+def test_train_requires_pi_for_ge_methods(tmp_path, rng):
+    """GE/PU methods without --pi or -n fail fast with the flag contract
+    (the reference dies later with an opaque NoneType TypeError)."""
+    import pytest
+
+    from topaz_tpu.cli.commands.train import add_arguments
+    from topaz_tpu.io import mrc
+    from topaz_tpu.training import train_model
+
+    img = rng.normal(0, 1, (128, 128)).astype(np.float32)
+    mrc.write(str(tmp_path / "m0.mrc"), img)
+    (tmp_path / "targets.txt").write_text(
+        "image_name\tx_coord\ty_coord\nm0\t30\t40\n")
+    args = add_arguments().parse_args([
+        "--train-images", str(tmp_path),
+        "--train-targets", str(tmp_path / "targets.txt"),
+        "--num-epochs", "1", "--epoch-size", "2",
+        "-o", str(tmp_path / "out.txt"),
+    ])
+    assert args.pi is None and args.num_particles <= 0
+    with pytest.raises(ValueError, match="requires pi"):
+        train_model(args)

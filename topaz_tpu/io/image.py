@@ -116,9 +116,10 @@ def downsample_file(path: str, scale: int, output: str, verbose: bool = False) -
     image = image.astype(np.float32)
 
     small = np.asarray(downsample(image, scale))
-    if header is not None:
-        new_height, new_width = small.shape
-        header = header.replace(ny=new_height, nx=new_width)
+    # the header keeps its ORIGINAL nx/ny here: mrc.write's shape-mismatch
+    # branch then rescales mx/my along with nx/ny, keeping the physical
+    # cell constant so the recorded voxel spacing doubles correctly —
+    # pre-replacing nx/ny would skip that branch and write stale spacing
 
     if verbose:
         print("Downsample image:", path, file=sys.stderr)

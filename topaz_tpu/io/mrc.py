@@ -184,7 +184,9 @@ def parse(content: bytes):
     n = int(header.nz) * int(header.ny) * int(header.nx)
     flat = np.frombuffer(content, dtype=header.dtype, offset=header.data_offset, count=-1)
     flat = flat[:n]
-    array = flat.reshape(header.shape)
+    # subarray dtypes (mode 16 RGB -> (3,)u1) add trailing channel axes;
+    # the reference's reshape chokes on them (topaz/mrc.py:121) — fixed here
+    array = flat.reshape(header.shape + flat.shape[1:])
     if int(header.nz) == 1:
         array = array[0]
     return array, header, ext

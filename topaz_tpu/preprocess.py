@@ -65,9 +65,9 @@ def normalize_file(
     x = np.asarray(image, dtype=np.float32)
 
     if scale > 1:
+        # keep the header's original nx/ny: mrc.write's shape-mismatch
+        # branch rescales mx/my with nx/ny so the voxel spacing stays right
         x = np.asarray(downsample(x, scale))
-        if header is not None:
-            header = header.replace(ny=x.shape[0], nx=x.shape[1])
 
     method = "affine" if affine else "gmm"
     x, md = normalize(x, alpha=alpha, beta=beta, num_iters=num_iters,
@@ -182,9 +182,8 @@ def normalize_images_batched(
         if scale > 1:
             from topaz_tpu.ops.fourier import downsample_numpy
 
+            # header keeps its original nx/ny — see normalize_file
             x = downsample_numpy(x, scale, shape=ds_shape(x.shape))
-            if header is not None:
-                header = header.replace(ny=x.shape[0], nx=x.shape[1])
         out = np.zeros(bucket, np.float32)
         out[: x.shape[0], : x.shape[1]] = x
         return out, x.shape, header, ext_header

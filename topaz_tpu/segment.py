@@ -62,6 +62,8 @@ def segment_images(model: str, paths: List[str], output_dir: str,
         is_3d = image.ndim == 3
 
         if patch_size is not None:
+            # the 2x is the reference's own convention for this command
+            # (topaz/model/utils.py:90 passes patch_size*2) — keep for parity
             from topaz_tpu.models.tiling import classify_patches_3d, predict_in_patches
 
             if is_3d:

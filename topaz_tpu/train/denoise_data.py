@@ -205,13 +205,14 @@ class PairedTiles3D:
         t = self.tilesize
         span_half = np.round(np.array(shape) * 0.1 / 2).astype(int)
         tv = np.array([t // 2] * 3)
+        tv_hi = np.array([t - t // 2] * 3)  # odd tilesizes are asymmetric
 
         mask = np.ones(shape, dtype=np.uint8)
-        for d, c in enumerate(tv):
+        for d in range(3):
             sl = [slice(None)] * 3
-            sl[d] = slice(0, c)
+            sl[d] = slice(0, tv[d])
             mask[tuple(sl)] = 0
-            sl[d] = slice(shape[d] - c, shape[d])
+            sl[d] = slice(shape[d] - tv_hi[d], shape[d])
             mask[tuple(sl)] = 0
 
         val_mask = mask.copy()
@@ -241,7 +242,9 @@ class PairedTiles3D:
                 return []
             sel = self.rng.choice(len(fg), size=count, replace=count > len(fg))
             zyx = np.unravel_index(fg[sel], shape)
-            return [tuple(slice(c - tv_, c + tv_) for c, tv_ in zip(cs, tv))
+            # slice is exactly tilesize long (c - t//2, c - t//2 + t):
+            # the symmetric form silently produced (t-1)-tiles for odd t
+            return [tuple(slice(c - tv_, c - tv_ + t) for c, tv_ in zip(cs, tv))
                     for cs in zip(*zyx)]
 
         return draw(mask, n_train), draw(val_region, n_test)

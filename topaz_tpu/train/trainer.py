@@ -74,6 +74,12 @@ def make_train_step(
     """
     crop = spec.width
     rotate = spec.dims == 2
+    # multi-host: the global batch is the concatenation of per-process
+    # local batches, EACH leading with its own n_pos positives — the
+    # positional P/U contract (methods.py) must see all positives first,
+    # so the (tiny) score vector is reordered with a static gather and the
+    # effective positive count becomes n_pos * process_count
+    nproc = jax.process_count() if mesh is not None else 1
 
     def loss_and_metrics(params, model_state, crops, rng, method_state):
         k_aug, k_drop = jax.random.split(rng)
@@ -87,7 +93,18 @@ def make_train_step(
             dropout_rng=k_drop, precision=precision, return_latent=True,
         )
         score = score.reshape(-1)
-        loss, new_method_state, metrics = loss_fn(score, n_pos, method_state)
+        if nproc > 1:
+            B = score.shape[0]
+            lb = B // nproc
+            pos = np.concatenate(
+                [np.arange(p * lb, p * lb + n_pos) for p in range(nproc)])
+            unl = np.setdiff1d(np.arange(B), pos)
+            score = score[np.concatenate([pos, unl])]
+            loss, new_method_state, metrics = loss_fn(
+                score, n_pos * nproc, method_state)
+        else:
+            loss, new_method_state, metrics = loss_fn(score, n_pos,
+                                                      method_state)
         if autoencoder > 0:
             from topaz_tpu.models.generative import apply_generator
 

@@ -74,17 +74,22 @@ def extract_image_stats(image_paths: List[List[str]], targets: pd.DataFrame,
 def report_data_stats(train_images_path: str, train_targets_path: str,
                       test_images_path: Optional[str] = None,
                       test_targets_path: Optional[str] = None,
-                      radius: int = 3, dims: int = 2):
+                      radius: int = 3, dims: int = 2, image_ext: str = "",
+                      format: str = "auto"):
     """Count positives/pixels/images from MRC headers only (training.py:279-295)."""
     report("source\tsplit\tp_observed\tnum_positive_regions\ttotal_regions")
-    train_targets = file_utils.read_coordinates(train_targets_path)
-    train_grouped = group_paths_by_source(train_images_path, train_targets)
+    train_targets = file_utils.read_coordinates(train_targets_path,
+                                                format=format)
+    train_grouped = group_paths_by_source(train_images_path, train_targets,
+                                          image_ext)
     num_train_images = sum(len(g) for g in train_grouped)
     num_positive, total = extract_image_stats(
         train_grouped, train_targets, mode="train", radius=radius, dims=dims)
     if test_images_path is not None and test_targets_path is not None:
-        test_targets = file_utils.read_coordinates(test_targets_path)
-        test_grouped = group_paths_by_source(test_images_path, test_targets)
+        test_targets = file_utils.read_coordinates(test_targets_path,
+                                                   format=format)
+        test_grouped = group_paths_by_source(test_images_path, test_targets,
+                                             image_ext)
         extract_image_stats(test_grouped, test_targets, mode="test",
                             radius=radius, dims=dims)
     return num_positive, total, num_train_images
@@ -135,25 +140,41 @@ def adjust_method(method: str, pi: Optional[float], p_observed: float):
     return method, pi
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _dense_scorer(spec, precision):
+    """One jitted whole-image dense scorer per (spec, precision); params
+    and state are traced arguments so per-epoch weights don't retrace."""
+    import jax
+
+    from topaz_tpu.models.picker import apply_picker
+
+    @jax.jit
+    def _score(params, model_state, x):
+        y, _ = apply_picker(spec, params, x[None], state=model_state,
+                            dense=True, precision=precision)
+        return y[0]
+
+    return _score
+
+
 def evaluate_model(spec, params, model_state, test_paths: List[str],
                    test_targets: pd.DataFrame, radius: int = 3,
                    precision=None):
     """Dense whole-image evaluation (topaz/training.py:506-548): per-pixel
     BCE + AUPRC against rasterized target masks."""
-    import jax
     import jax.numpy as jnp
 
     from topaz_tpu.io.image import load_image
-    from topaz_tpu.models.picker import apply_picker
     from topaz_tpu.ops.masks import as_mask
     from topaz_tpu.ops.metrics import average_precision
     from topaz_tpu.train.methods import bce_with_logits
 
-    @jax.jit
-    def _score(x):
-        y, _ = apply_picker(spec, params, x[None], state=model_state,
-                            dense=True, precision=precision)
-        return y[0]
+    # one compiled dense scorer per (spec, precision) for the whole run —
+    # a fresh jit closure here would recompile the picker EVERY epoch
+    _score = _dense_scorer(spec, precision)
 
     n = 0
     loss = 0.0
@@ -163,9 +184,11 @@ def evaluate_model(spec, params, model_state, test_paths: List[str],
         img = np.asarray(load_image(path), dtype=np.float32)
         name = os.path.splitext(os.path.basename(path))[0]
         t = test_targets[test_targets["image_name"] == name]
+        z = (t["z_coord"].values
+             if img.ndim == 3 and "z_coord" in t.columns else None)
         mask = as_mask(img.shape, radius, t["x_coord"].values,
-                       t["y_coord"].values)
-        score = np.asarray(_score(jnp.asarray(img)))
+                       t["y_coord"].values, z_coord=z)
+        score = np.asarray(_score(params, model_state, jnp.asarray(img)))
         this_loss = float(np.mean(np.asarray(
             bce_with_logits(jnp.asarray(score.ravel()), jnp.asarray(mask.ravel()))
         )))
@@ -195,7 +218,8 @@ def train_model(args, output=None):
 
     num_positive, total_regions, num_images = report_data_stats(
         args.train_images, args.train_targets, args.test_images,
-        args.test_targets, radius=args.radius, dims=args.dims)
+        args.test_targets, radius=args.radius, dims=args.dims,
+        image_ext=args.image_ext, format=args.format_)
 
     if args.num_particles > 0:
         expected = args.num_particles * num_images
@@ -207,6 +231,12 @@ def train_model(args, output=None):
     else:
         pi = args.pi
         report(f"pi = {pi}")
+    if pi is None and args.method in ("GE-KL", "GE-binomial", "PU"):
+        # the reference dies later with an opaque NoneType TypeError
+        # (topaz/training.py:632); fail fast with the flag contract instead
+        raise ValueError(
+            f"method {args.method} requires pi: set --pi or give the "
+            f"expected particles per micrograph with -n/--num-particles")
 
     p_observed = num_positive / total_regions
     method, pi_adj = adjust_method(args.method, pi, p_observed)
@@ -229,10 +259,20 @@ def train_model(args, output=None):
     train_grouped = group_paths_by_source(args.train_images, train_targets,
                                           args.image_ext)
     train_paths = [p for group in train_grouped for p in group]
+    # multi-host: offset the sampler seed per process so each host samples
+    # distinct crops (identical seeds would duplicate the global batch)
+    seed = getattr(args, "seed", 0)
+    if getattr(args, "device", 0) == -2:
+        from topaz_tpu.parallel.devices import maybe_distributed_init
+
+        if maybe_distributed_init():
+            import jax
+
+            seed += 1000003 * jax.process_index()
     sampler = CropSampler(train_paths, train_targets, spec.width,
                           radius=args.radius, split=split,
                           rotate=(args.dims == 2),
-                          seed=getattr(args, "seed", 0), dims=args.dims)
+                          seed=seed, dims=args.dims)
     report(f"Loaded {sampler.num_images} training micrographs with "
            f"~{int(sampler.num_pixels // sampler.mask_size)} labeled particles")
 
