@@ -63,6 +63,7 @@ def main():
     mics = read_micrograph_paths(args.input)
 
     run(topaz + ["denoise", "--model", args.model, "--format", "mrc",
+                 "--device", str(args.device),
                  "--patch-size", str(args.patch_size),
                  "--patch-padding", str(args.patch_padding), "--normalize",
                  "--output", denoised] + mics)

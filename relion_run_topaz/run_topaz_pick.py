@@ -36,6 +36,15 @@ def topaz_cmd(topaz_path):
     return [sys.executable, "-m", "topaz_tpu"]
 
 
+def str2bool(v):
+    """RELION external-job params arrive as strings: treat 'False'/'No'/'0'
+    (the values RELION's GUI actually sends) as False instead of truthy —
+    the reference wrapper skips the stage on ANY supplied value."""
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() not in ("false", "no", "0", "", "none")
+
+
 def finish(out_path, nodes):
     with open(os.path.join(out_path, "RELION_OUTPUT_NODES.star"), "w") as f:
         f.write("data_output_nodes\nloop_\n_rlnPipeLineNodeName #1\n_rlnPipeLineNodeType #2\n")
@@ -56,8 +65,8 @@ def main():
     p.add_argument("-m", "--model", type=str, default="resnet16_u64")
     p.add_argument("--pickthreshold", "--pick_threshold", dest="pickthreshold", type=float, default=-6)
     p.add_argument("--selectthreshold", "--select_threshold", dest="selectthreshold", type=float, default=0)
-    p.add_argument("--skip_preprocess", default=False)
-    p.add_argument("--skip_pick", default=False)
+    p.add_argument("--skip_preprocess", default=False, type=str2bool)
+    p.add_argument("--skip_pick", default=False, type=str2bool)
     args, _ = p.parse_known_args()
 
     out = args.output
@@ -71,12 +80,14 @@ def main():
     if not (args.skip_pick or args.skip_preprocess):
         run(topaz + ["preprocess", "--scale", str(args.scalefactor), "--sample", "1",
                      "--niters", "100", "--alpha", "900", "--beta", "1", "-v",
+                     "--device", str(args.device),
                      "--destdir", preproc] + mics)
     if not args.skip_pick:
         import glob
 
         run(topaz + ["extract", "--model", args.model, "--radius", str(args.radius),
                      "--threshold", str(args.pickthreshold), "--up-scale", "1",
+                     "--device", str(args.device),
                      "--output", picks_raw] + sorted(glob.glob(os.path.join(preproc, "*.mrc"))))
 
     run(topaz + ["convert", picks_raw, "--threshold", str(args.selectthreshold),

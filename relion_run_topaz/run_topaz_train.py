@@ -97,9 +97,11 @@ def main():
     mics = read_micrograph_paths(args.inputmic)
     run(topaz + ["preprocess", "--scale", str(args.scalefactor), "--sample", "1",
                  "--niters", "100", "--alpha", "900", "--beta", "1", "-v",
+                 "--device", str(args.device),
                  "--destdir", preproc] + mics)
 
     run(topaz + ["train", "--train-images", preproc, "--train-targets", parts_scaled,
+                 "--device", str(args.device),
                  "--k-fold", "5", "--fold", "0", "--radius", str(args.radius),
                  "--model", args.cnn_model, "--image-ext", ".mrc", "--units", "32",
                  "--method", "GE-binomial", "--autoencoder", str(args.autoencoder),

@@ -36,6 +36,15 @@ def topaz_cmd(topaz_path):
     return [sys.executable, "-m", "topaz_tpu"]
 
 
+def str2bool(v):
+    """RELION external-job params arrive as strings: treat 'False'/'No'/'0'
+    (the values RELION's GUI actually sends) as False instead of truthy —
+    the reference wrapper skips the stage on ANY supplied value."""
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() not in ("false", "no", "0", "", "none")
+
+
 def finish(out_path, nodes):
     with open(os.path.join(out_path, "RELION_OUTPUT_NODES.star"), "w") as f:
         f.write("data_output_nodes\nloop_\n_rlnPipeLineNodeName #1\n_rlnPipeLineNodeType #2\n")
@@ -56,7 +65,7 @@ def main():
     p.add_argument("-d", "--device", type=int, default=0)
     p.add_argument("-n", "--num_cpus", type=int, default=8)
     p.add_argument("-f", "--frames", type=int, help="Number of frames in each movie")
-    p.add_argument("-s", "--skip_preprocess", default=False)
+    p.add_argument("-s", "--skip_preprocess", default=False, type=str2bool)
     args, _ = p.parse_known_args()
 
     out = args.output
@@ -87,6 +96,7 @@ def main():
             mrc.write(os.path.join(even_dir, name), movie[0::2].sum(axis=0))
 
     run(topaz + ["denoise", "--dir-a", odd_dir, "--dir-b", even_dir,
+                 "--device", str(args.device),
                  "--criteria", args.criteria, "--preload",
                  "--num-epochs", str(args.epochs),
                  "--save-prefix", os.path.join(out, "model")])

@@ -255,3 +255,33 @@ def test_match_coordinates_to_images_3d_mask(rng):
     np.testing.assert_array_equal(mask, expect)
     assert mask.shape == vol.shape
     assert mask[3, 9, 5] == 1 and mask[10, 2, 17] == 1
+
+
+def test_convert_invert_y_dotted_default_ext(tmp_path, rng):
+    """--invert-y works with the DEFAULT --image-ext '.mrc' (regression:
+    'name' + '.' + '.mrc' built 'name..mrc', matched nothing, and crashed
+    — the reference has the same bug, topaz/commands/convert.py:206-208)."""
+    import subprocess
+    import sys
+
+    from topaz_tpu.io import mrc
+
+    mrc.write(str(tmp_path / "a.mrc"),
+              rng.normal(size=(30, 20)).astype(np.float32))
+    src = tmp_path / "parts.txt"
+    pd.DataFrame({"image_name": ["a"], "x_coord": [3],
+                  "y_coord": [4]}).to_csv(src, sep="\t", index=False)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "topaz_tpu", "convert", "--invert-y",
+         "--imagedir", str(tmp_path),
+         "-o", str(tmp_path / "flipped.txt"), str(src)],
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr
+    flipped = pd.read_csv(tmp_path / "flipped.txt", sep="\t")
+    assert flipped.y_coord.tolist() == [30 - 1 - 4]

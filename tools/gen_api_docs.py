@@ -83,6 +83,8 @@ def main():
     # fail loudly on undocumented public API so docs stay honest
     n_undoc = "\n".join(out).count("(undocumented)")
     print(f"undocumented public symbols: {n_undoc}")
+    if n_undoc:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

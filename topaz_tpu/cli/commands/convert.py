@@ -85,7 +85,8 @@ def main(args):
                 print(f"Error: unrecognized output coordinates file extension ({e.ext})", file=sys.stderr)
                 sys.exit(1)
     if verbose > 0:
-        print("# OUTPUT format: " + to_form)
+        # stderr: stdout may BE the converted output stream
+        print("# OUTPUT format: " + to_form, file=sys.stderr)
 
     t = args.threshold
     scale = args.up_scale / args.down_scale
@@ -137,9 +138,18 @@ def main(args):
             print("Error: --imagedir must specify the directory of images in order to mirror the y-axis coordinates", file=sys.stderr)
             sys.exit(1)
         dfs = []
+        # accept '.mrc', 'mrc', or '*' for --image-ext (the reference
+        # builds 'name..mrc' with its own dotted default and finds nothing,
+        # topaz/commands/convert.py:206-208)
+        ext = image_ext.lstrip(".") or "*"
         for image_name, group in coords.groupby("image_name"):
-            impath = glob.glob(os.path.join(args.imagedir, image_name) + "." + image_ext)[0]
-            im = load_image(impath)
+            pattern = os.path.join(args.imagedir, image_name) + "." + ext
+            matches = glob.glob(pattern)
+            if not matches:
+                print(f"Error: no image matches {pattern} (needed to mirror "
+                      f"the y-axis)", file=sys.stderr)
+                sys.exit(1)
+            im = load_image(matches[0])
             dfs.append(mirror_y_axis(group, im.shape[0]))
         coords = pd.concat(dfs, axis=0)
 

@@ -13,7 +13,7 @@ def add_arguments(parser=None):
     parser.add_argument("files", nargs="+")
     parser.add_argument("-s", "--scale", default=1, type=int, help="downsample images by this factor (default: 1)")
     parser.add_argument("--affine", action="store_true", help="use standard normalization (x-mu)/std of whole image rather than GMM normalization")
-    parser.add_argument("--sample", default=10, type=int, help="pixel sampling factor for model fit (default: 10)")
+    parser.add_argument("--sample", default=None, type=int, help="pixel sampling factor for model fit (default: 10)")
     parser.add_argument("--bins", default=0, type=int, help="fit the GMM to a histogram of ALL pixels with this many bins instead of subsampling — faster and lower-variance than --sample for large images; 0 disables (default: 0)")
     parser.add_argument("--niters", default=100, type=int, help="maximum number of EM iterations to run for model fit (default: 100)")
     parser.add_argument("-a", "--alpha", default=900, type=float, help="alpha parameter of the beta distribution prior on the mixing proportion (default: 900)")
@@ -50,7 +50,8 @@ def main(args):
             # sharded device_put requires divisibility
             bs = args.batch_size if args.batch_size > 1 else len(devices)
             mesh = data_mesh_for(devices, bs, warn=True)
-        if args.sample > 1:
+        if args.sample is not None and args.sample > 1:
+            # only when the user explicitly asked for subsampling
             print("# batched normalization fits all valid pixels; --sample "
                   "subsampling is a CPU-only workaround and is ignored "
                   "(use --bins for a faster fit)", file=sys.stderr)
@@ -66,7 +67,8 @@ def main(args):
     normalize_images(
         args.files, args.destdir, scale=args.scale, affine=args.affine,
         num_iters=args.niters, alpha=args.alpha, beta=args.beta,
-        sample=args.sample, metadata=args.metadata, formats=formats,
+        sample=args.sample if args.sample is not None else 10,
+        metadata=args.metadata, formats=formats,
         bins=args.bins,
         verbose=args.verbose,
     )
