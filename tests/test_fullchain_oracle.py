@@ -1,0 +1,84 @@
+"""North-star oracle: the FULL picking chain — raw pixels -> Fourier-crop
+downsample -> GMM normalize -> pretrained dense scoring -> greedy NMS —
+produces the same particle coordinates as the torch reference run over its
+own chain (topaz/utils/image.py + topaz/stats.py + topaz/model +
+topaz/algorithms.py). The per-stage parity tests each bound one stage;
+this catches cross-stage interface drift (coordinate order, scaling,
+normalization handoff)."""
+
+import numpy as np
+import pytest
+
+from reference_oracle import ref_module, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference not mounted")
+
+
+def test_full_picking_chain_matches_reference(rng):
+    import torch
+
+    ref_image = ref_module("topaz.utils.image")
+    ref_stats = ref_module("topaz.stats")
+    ref_factory = ref_module("topaz.model.factory")
+    ref_algorithms = ref_module("topaz.algorithms")
+
+    from topaz_tpu.models.factory import load_picker
+    from topaz_tpu.models.picker import apply_picker
+    from topaz_tpu.ops.fourier import downsample
+    from topaz_tpu.ops.gmm import normalize
+    from topaz_tpu.ops.nms import non_maximum_suppression
+
+    # synthetic micrograph: noise + dark particle blobs (the pretrained
+    # picker fires on dark round densities)
+    H = W = 512
+    x = rng.normal(0, 1, (H, W)).astype(np.float32)
+    yy, xx = np.mgrid[-24:24, -24:24].astype(np.float32)
+    blob = 4.0 * np.exp(-(yy**2 + xx**2) / (2 * 8.0**2))
+    for cy, cx in rng.integers(60, 450, size=(12, 2)):
+        x[cy - 24 : cy + 24, cx - 24 : cx + 24] -= blob
+
+    radius, threshold = 8, -6.0
+
+    # ---- reference chain (torch CPU) ---------------------------------
+    small_ref = ref_image.downsample(x, 4)
+    norm_ref, _ = ref_stats.normalize(small_ref.copy(), alpha=900, beta=1,
+                                      num_iters=100, sample=1, method="gmm",
+                                      use_cuda=False)
+    model = ref_factory.load_model("resnet8_u32")
+    model.eval()
+    model.fill()
+    with torch.no_grad():
+        score_ref = model(
+            torch.from_numpy(np.asarray(norm_ref, dtype=np.float32))
+            [None, None]).numpy()[0, 0]
+    s_ref, c_ref = ref_algorithms.non_maximum_suppression(
+        score_ref, radius, threshold=threshold)
+
+    # ---- our chain (jax) ---------------------------------------------
+    small = np.asarray(downsample(x, 4))
+    norm, _ = normalize(small, alpha=900, beta=1, num_iters=100,
+                        method="gmm", sample=1)
+    spec, params, state = load_picker("resnet8_u32")
+    score, _ = apply_picker(spec, params, np.asarray(norm)[None],
+                            state=state, dense=True, precision="highest")
+    score = np.asarray(score)[0]
+    s_ours, c_ours = non_maximum_suppression(score, radius,
+                                             threshold=threshold)
+
+    # score maps agree tightly across the whole chain
+    np.testing.assert_allclose(score, score_ref, rtol=1e-3, atol=1e-3)
+
+    # confident picks (well above threshold) are coordinate-identical;
+    # near-threshold noise peaks may flicker with float tolerance
+    conf_ours = {tuple(c) for s, c in zip(s_ours, c_ours) if s > 0}
+    conf_ref = {tuple(c) for s, c in zip(s_ref, c_ref) if s > 0}
+    assert conf_ours == conf_ref
+    assert len(conf_ours) >= 8  # the planted particles were found
+
+    # and their scores match
+    ours_map = {tuple(c): s for s, c in zip(s_ours, c_ours)}
+    refs_map = {tuple(c): s for s, c in zip(s_ref, c_ref)}
+    for c in conf_ref:
+        np.testing.assert_allclose(ours_map[c], refs_map[c], rtol=1e-2,
+                                   atol=1e-2)
