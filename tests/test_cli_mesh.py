@@ -364,7 +364,11 @@ def test_denoise2d_mesh_halo_bf16(tmp_path, rng):
     d32 = Denoise("fcnn", devices=devices)
     dbf = Denoise("fcnn", devices=devices, dtype="bf16")
     y32 = d32._apply(img)
+    # the halo path must actually engage for bf16 (not decline to the
+    # single-device whole-image fallback, which would also pass below)
+    assert dbf._apply_halo(img) is not None
     ybf = dbf._apply(img)
+    assert any(k[0] == "halo" for k in dbf._jit_cache)
     assert ybf.dtype == np.float32
     # bf16 mantissa ~8 bits: expect ~1% agreement
     err = np.abs(ybf - y32) / (np.abs(y32).mean() + 1e-6)

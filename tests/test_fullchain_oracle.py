@@ -70,15 +70,26 @@ def test_full_picking_chain_matches_reference(rng):
     np.testing.assert_allclose(score, score_ref, rtol=1e-3, atol=1e-3)
 
     # confident picks (well above threshold) are coordinate-identical;
-    # near-threshold noise peaks may flicker with float tolerance
-    conf_ours = {tuple(c) for s, c in zip(s_ours, c_ours) if s > 0}
-    conf_ref = {tuple(c) for s, c in zip(s_ref, c_ref) if s > 0}
-    assert conf_ours == conf_ref
+    # near-cutoff noise peaks may flicker with float tolerance, so exclude
+    # a band around the confidence cutoff from BOTH sets (score maps agree
+    # to ~1e-3; a peak at +/-5e-4 would land in exactly one set otherwise)
+    conf_ours = {tuple(c) for s, c in zip(s_ours, c_ours) if s > 0.05}
+    conf_ref = {tuple(c) for s, c in zip(s_ref, c_ref) if s > 0.05}
+    band_ours = {tuple(c) for s, c in zip(s_ours, c_ours)
+                 if -0.05 <= s <= 0.05}
+    band_ref = {tuple(c) for s, c in zip(s_ref, c_ref)
+                if -0.05 <= s <= 0.05}
+    # every confident pick on one side appears on the other side as a
+    # confident or band pick
+    assert conf_ours - (conf_ref | band_ref) == set()
+    assert conf_ref - (conf_ours | band_ours) == set()
     assert len(conf_ours) >= 8  # the planted particles were found
 
     # and their scores match
     ours_map = {tuple(c): s for s, c in zip(s_ours, c_ours)}
     refs_map = {tuple(c): s for s, c in zip(s_ref, c_ref)}
-    for c in conf_ref:
+    shared = conf_ref & set(ours_map)
+    assert len(shared) >= 8
+    for c in shared:
         np.testing.assert_allclose(ours_map[c], refs_map[c], rtol=1e-2,
                                    atol=1e-2)

@@ -9,6 +9,8 @@ import socket
 import subprocess
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 WORKER = r'''
 import numpy as np
 import jax
@@ -78,11 +80,11 @@ def test_two_process_dp_train_step():
             "TOPAZ_PROCESS_ID": str(pid),
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-            "PYTHONPATH": "/root/repo",
+            "PYTHONPATH": REPO,
         })
         env.pop("TOPAZ_DRYRUN_CHILD", None)
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", WORKER], env=env, cwd="/root/repo",
+            [sys.executable, "-c", WORKER], env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
 
     losses = []
