@@ -14,6 +14,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# opt-in persistent compile cache for local iteration: cuts repeat suite
+# time sharply (the suite is compile-bound on this 1-core host) but emits
+# noisy machine-feature warnings, so it is off by default
+if os.environ.get("TOPAZ_TEST_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_test_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 
