@@ -84,6 +84,33 @@ def _wait_for_device(retries: int = 5, delay: float = 10.0):
             time.sleep(delay)
 
 
+def bench_denoise_bf16(raw) -> float:
+    """Denoise@4k in the documented bf16 opt-in fast mode (CLI:
+    --precision bf16): micrographs/sec for the denoise stage alone,
+    showing the measured headroom over the f32 parity default."""
+    from topaz_tpu.models.denoise_factory import apply_fn_for, load_denoiser
+
+    dmeta, dparams = load_denoiser("unet")
+    dparams = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.bfloat16), dparams)
+    dapply = apply_fn_for(dmeta)
+
+    @jax.jit
+    def denoise16(raw):
+        mu, std = jnp.mean(raw), jnp.std(raw)
+        xin = ((raw - mu) / std)[None, :, :, None].astype(jnp.bfloat16)
+        y = dapply(dparams, xin, dims=2).astype(jnp.float32)[0, :, :, 0]
+        return y * std + mu
+
+    _ = np.asarray(denoise16(raw)[:1, :1])  # compile
+    t0 = time.time()
+    outs = [denoise16(raw) for _ in range(N_ITERS)]
+    for den in outs:
+        _ = np.asarray(den[:1, :1])
+    elapsed = time.time() - t0
+    return N_ITERS / elapsed
+
+
 def bench_compute(rng) -> float:
     """Device-compute throughput: one resident 4k micrograph through
     preprocess + extract + denoise@4k (round-1 headline, kept comparable)."""
@@ -237,6 +264,8 @@ def main():
     compute_tput = bench_compute(rng)
     pipeline_tput = bench_pipeline(rng)
     train_tput = bench_train(rng)
+    bf16_denoise_tput = bench_denoise_bf16(
+        jnp.asarray(rng.normal(0, 1, (4096, 4096)).astype(np.float32)))
 
     vs_baseline = None
     pipeline_vs_cpu = None
@@ -267,6 +296,11 @@ def main():
             "pipeline_vs_cpu_ref_same_work_est": (
                 round(pipeline_vs_cpu, 1) if pipeline_vs_cpu else None),
             "train_crops_per_sec": round(train_tput, 1),
+            "denoise4k_bf16_mic_per_sec": round(bf16_denoise_tput, 4),
+            "denoise4k_bf16_note": ("documented opt-in fast mode "
+                                    "(--precision bf16, ~0.4% rel err); "
+                                    "headline stays f32 for bit-level "
+                                    "reference parity"),
             "train_workload": ("GE-binomial PU train step, resnet8_u32 "
                                f"crops, batch {TRAIN_BATCH}, jitted "
                                "fwd+penalty+bwd+Adam (BASELINE config 3)"),
