@@ -88,3 +88,46 @@ def test_normalize_bins_path(rng):
     binned, md_b = normalize(x, bins=65536)
     assert md_b["bins"] == 65536
     np.testing.assert_allclose(binned, exact, rtol=5e-3, atol=5e-3)
+
+
+def test_beta_logpdf_boundary_finite():
+    """beta_logpdf matches scipy at the pi=1 boundary with beta=1 (the
+    default prior): the naive 0*log(0) NaN would poison an EM lane whose
+    MAP pi collapses to 1.0, and a NaN logp wins argmax, NaN-ing the
+    whole normalized image."""
+    import numpy as np
+
+    from topaz_tpu.ops.gmm import beta_logpdf
+
+    v = float(beta_logpdf(1.0, 900.0, 1.0))
+    assert np.isfinite(v)
+    np.testing.assert_allclose(v, np.log(900.0), rtol=1e-6)
+    assert np.isfinite(float(beta_logpdf(0.0, 1.0, 5.0)))
+    # beta > 1 at pi = 1 is a genuine zero-density: -inf, not NaN
+    assert float(beta_logpdf(1.0, 2.0, 2.0)) == -np.inf
+
+
+def test_norm_fit_near_unimodal_finite(rng):
+    """norm_fit stays finite on near-unimodal images that collapse some
+    EM lanes toward pi=1 (regression: the winning lane was NaN)."""
+    import numpy as np
+
+    from topaz_tpu.ops.gmm import norm_fit
+
+    x = rng.normal(5.0, 0.01, 20000).astype(np.float32)
+    mu, std, *_ = norm_fit(x)
+    assert np.isfinite(float(mu)) and np.isfinite(float(std))
+    assert float(std) > 0
+
+
+def test_gmm_fit_w_without_n(rng):
+    """gmm_fit derives n from w when n is omitted (regression: divided
+    by None at trace time)."""
+    import numpy as np
+
+    from topaz_tpu.ops.gmm import gmm_fit
+
+    x = rng.normal(0, 1, 4096).astype(np.float32)
+    w = (rng.random(4096) > 0.25).astype(np.float32)
+    out = gmm_fit(x, 0.5, float(np.median(x)), w=w)
+    assert np.isfinite(float(out[0]))

@@ -305,3 +305,22 @@ def test_train_requires_pi_for_ge_methods(tmp_path, rng):
     assert args.pi is None and args.num_particles <= 0
     with pytest.raises(ValueError, match="requires pi"):
         train_model(args)
+
+
+def test_crop_sampler_packed_keys_consistent():
+    """The packed positive-pixel probe uses the same int64 wraparound as
+    the key array, so membership matches even for coordinates beyond the
+    packed field widths (regression: Python ints never matched wrapped
+    numpy keys for image index >= 2^15, letting 'negatives' land on
+    labeled positives)."""
+    import numpy as np
+
+    from topaz_tpu.train.data import CropSampler
+
+    # beyond-limit values: image index 40000 >= 2^15, y 200000 >= 2^17
+    for k, z, y, x in [(40000, 0, 5, 7), (3, 0, 200000, 9),
+                       (1, 0, 2, 3)]:
+        probe = CropSampler._pack(k, z, y, x)
+        arr = (np.int64(k) << 48) | (np.int64(z) << 34) \
+            | (np.int64(y) << 17) | np.int64(x)
+        assert np.int64(probe) == arr

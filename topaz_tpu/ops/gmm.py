@@ -28,12 +28,15 @@ DEFAULT_PIS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.98, 1.0)
 
 
 def beta_logpdf(pi, alpha, beta):
-    """log Beta(alpha, beta) density at pi (stats.py:165 prior term)."""
-    return (
-        (alpha - 1) * jnp.log(pi)
-        + (beta - 1) * jnp.log1p(-pi)
-        - betaln(alpha, beta)
-    )
+    """log Beta(alpha, beta) density at pi (stats.py:165 prior term).
+
+    The boundary cases follow scipy (finite at pi=1 when beta==1 and at
+    pi=0 when alpha==1): the naive ``0 * log(0) = NaN`` would poison an
+    EM lane whose MAP pi collapses to exactly 1.0 — and a NaN logp wins
+    jnp.argmax, turning the whole normalized image into NaNs."""
+    t_a = jnp.where(alpha == 1, 0.0, (alpha - 1) * jnp.log(pi))
+    t_b = jnp.where(beta == 1, 0.0, (beta - 1) * jnp.log1p(-pi))
+    return t_a + t_b - betaln(alpha, beta)
 
 
 def _beta_pdf_at_one(alpha, beta):
@@ -95,6 +98,8 @@ def gmm_fit(
         n = x.size
     else:
         w = w.ravel().astype(x.dtype)
+        if n is None:  # the docstring pairs w with n; derive when omitted
+            n = jnp.sum(w)
     mu = jnp.sum(x * w) / n
     pi = jnp.asarray(pi, dtype=x.dtype)
 

@@ -173,6 +173,11 @@ def make_halo_denoiser(meta: Dict, params, mesh: Mesh, halo: int = 256,
     bf16 = dtype in ("bf16", "bfloat16")
 
     def shard_fn(block):  # (H/n, W) for 2D; (D/n, H, W) for 3D
+        if block.shape[0] < halo:
+            raise ValueError(
+                f"halo-sharded denoising needs >= {halo} leading rows per "
+                f"shard, got {block.shape[0]}; lower the halo or use fewer "
+                f"'space' shards for this image")
         # global statistics over the whole image
         stats = jax.lax.psum(
             jnp.stack([jnp.sum(block), jnp.sum(block**2),

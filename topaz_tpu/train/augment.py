@@ -2,10 +2,15 @@
 
 The reference augments per-crop on the host with torchvision (nearest
 rotation of a sqrt(2)-over-sized crop, then center crop, then flips —
-topaz/utils/data/memory_mapped_data.py:216-231). Here the host ships raw
-over-sized crops and the whole augmentation runs inside the jitted train
-step, vmapped over the batch: one fused gather per crop on the VPU instead
-of a Python loop.
+topaz/utils/data/memory_mapped_data.py:216-231). This module applies the
+same transform inside the jitted train step, vmapped over the batch.
+
+NOTE on the current training flow: the 2D CropSampler delivers crops
+already augmented at the final size via the fused load-time gather
+(train/data.py _augmented_crops, native C fast path), so trainer.py's
+`crops.shape[1] == crop` check takes the passthrough branch and this
+module only runs when a sampler hands in RAW over-sized crops (custom
+library use and any raw-window pipeline).
 """
 
 from __future__ import annotations

@@ -134,6 +134,13 @@ class CropSampler:
         if dims == 3:
             depths = np.array([im.shape[0] for im in self.images])
             in_bounds &= (zs >= 0) & (zs < depths[img_idx])
+        n_oob = int(len(in_bounds) - in_bounds.sum())
+        if n_oob:
+            # the usual cause is unscaled coordinates against downsampled
+            # micrographs (reference warning: memory_mapped_data.py:110-113)
+            report(f"WARNING: ~{n_oob} positive pixels are out of bounds "
+                   f"for their images. Did you scale the micrographs and "
+                   f"particle coordinates correctly?")
         self.pos_img = img_idx[in_bounds]
         self.pos_x = xs[in_bounds]
         self.pos_y = ys[in_bounds]
@@ -141,14 +148,29 @@ class CropSampler:
         self.num_pixels = len(self.pos_img)
         self.num_images = len(self.images)
 
-        # packed-int positive-pixel set for negative rejection sampling
+        # packed-int positive-pixel keys for negative rejection sampling —
+        # kept as a SORTED int64 array (8 bytes/entry + searchsorted probes)
+        # instead of a set of boxed Python ints (~100 bytes/entry and a
+        # multi-second init for large particle sets)
         packed = ((self.pos_img << 48) | (self.pos_z << 34)
                   | (self.pos_y << 17) | self.pos_x)
-        self.positive_set = set(packed.tolist()) if split == "pn" else None
+        self.positive_sorted = np.sort(packed) if split == "pn" else None
 
     @staticmethod
     def _pack(k, z, y, x):
-        return (int(k) << 48) | (int(z) << 34) | (int(y) << 17) | int(x)
+        # numpy int64 arithmetic on BOTH the key array and this probe: for
+        # coordinates beyond the packed field widths (k >= 2^15, z >= 2^14,
+        # y/x >= 2^17) the shifts wrap identically on both sides, so
+        # membership still matches (a wraparound collision at worst rejects
+        # a valid negative — harmless and astronomically rare)
+        return (np.int64(k) << np.int64(48)) | (np.int64(z) << np.int64(34)) \
+            | (np.int64(y) << np.int64(17)) | np.int64(x)
+
+    def _is_positive(self, k, z, y, x) -> bool:
+        key = self._pack(k, z, y, x)
+        a = self.positive_sorted
+        i = int(np.searchsorted(a, key))
+        return i < len(a) and a[i] == key
 
     def _gather_crops_3d(self, img_idx, zs, ys, xs) -> np.ndarray:
         """Zero-padded 3D windows centered at (z, y, x)
@@ -167,6 +189,19 @@ class CropSampler:
                 rx.start - x0 : rx.stop - x0] = vol[rz, ry, rx]
         return out
 
+    @staticmethod
+    def _group_by_image(img_idx):
+        """Yield (image index, stable-order selection) per distinct image."""
+        order = np.argsort(img_idx, kind="stable")
+        pos = 0
+        while pos < len(order):
+            k = img_idx[order[pos]]
+            end = pos
+            while end < len(order) and img_idx[order[end]] == k:
+                end += 1
+            yield k, order[pos:end]
+            pos = end
+
     def _gather_crops(self, img_idx, ys, xs) -> np.ndarray:
         s = self.raw_size
         half = s // 2
@@ -175,22 +210,14 @@ class CropSampler:
         # native batched gather per image (topaz_tpu/native); numpy fallback
         from topaz_tpu.native import gather_crops as native_gather
 
-        order = np.argsort(img_idx, kind="stable")
         done = np.zeros(len(img_idx), dtype=bool)
-        pos = 0
-        while pos < len(order):
-            k = img_idx[order[pos]]
-            end = pos
-            while end < len(order) and img_idx[order[end]] == k:
-                end += 1
-            sel = order[pos:end]
+        for k, sel in self._group_by_image(img_idx):
             crops = native_gather(
                 np.asarray(self.images[k]._mm), ys[sel] - half, xs[sel] - half, s
             )
             if crops is not None:
                 out[sel] = crops
                 done[sel] = True
-            pos = end
 
         for i in np.flatnonzero(~done):
             out[i] = self.images[img_idx[i]].crop(
@@ -217,14 +244,7 @@ class CropSampler:
         out = np.empty((B, size, size), dtype=np.float32)
         half = (size - 1) / 2.0
 
-        order = np.argsort(img_idx, kind="stable")
-        pos = 0
-        while pos < len(order):
-            k = img_idx[order[pos]]
-            end = pos
-            while end < len(order) and img_idx[order[end]] == k:
-                end += 1
-            sel = order[pos:end]
+        for k, sel in self._group_by_image(img_idx):
             img = np.asarray(self.images[k]._mm)
             crops = native_rot(img, ys[sel], xs[sel], angles[sel],
                                hflip[sel], vflip[sel], size)
@@ -244,7 +264,6 @@ class CropSampler:
                         valid, img[np.clip(sy, 0, H - 1), np.clip(sx, 0, W - 1)], 0
                     )
             out[sel] = crops
-            pos = end
         return out
 
     def sample_batch(self, batch_size: int, n_pos: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -273,8 +292,8 @@ class CropSampler:
                 y = self.rng.integers(0, H)
                 x = self.rng.integers(0, W)
                 z = self.rng.integers(0, D) if self.dims == 3 else 0
-                if self.positive_set is None or \
-                        self._pack(k, z, y, x) not in self.positive_set:
+                if self.positive_sorted is None or \
+                        not self._is_positive(k, z, y, x):
                     break
             n_y[i], n_x[i] = y, x
             n_z[i] = z
