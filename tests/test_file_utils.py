@@ -285,3 +285,48 @@ def test_convert_invert_y_dotted_default_ext(tmp_path, rng):
     assert r.returncode == 0, r.stderr
     flipped = pd.read_csv(tmp_path / "flipped.txt", sep="\t")
     assert flipped.y_coord.tolist() == [30 - 1 - 4]
+
+
+def test_star_rows_starting_with_data(tmp_path):
+    """Body rows whose first token starts with 'data' are particles, not
+    block terminators (regression: micrographs named data*.mrc or paths
+    under data/ silently dropped ALL rows — the reference parser has the
+    same bug)."""
+    from topaz_tpu.io import star
+
+    content = (
+        "data_\n\nloop_\n_rlnMicrographName #1\n_rlnCoordinateX #2\n"
+        "_rlnCoordinateY #3\n"
+        "data001.mrc 10 20\n"
+        "data/job01/m2.mrc 30 40\n"
+        "data_block2\n"  # a real new block DOES terminate
+        "ignored 1 2\n"
+    )
+    p = tmp_path / "p.star"
+    p.write_text(content)
+    with open(p) as f:
+        table = star.parse(f)
+    assert len(table) == 2
+    assert table["MicrographName"].tolist() == ["data001.mrc",
+                                                "data/job01/m2.mrc"]
+
+
+def test_split_particle_file_relative_micrograph_names(tmp_path):
+    """RELION MicrographName entries are relative paths; splitting writes
+    per-micrograph files under output_dir by basename instead of crashing
+    on missing subdirectories (reference bug, files.py:313-316)."""
+    from topaz_tpu.io.coordinates import split_particle_file
+
+    content = (
+        "data_\n\nloop_\n_rlnMicrographName #1\n_rlnCoordinateX #2\n"
+        "_rlnCoordinateY #3\n"
+        "MotionCorr/job002/mic_001.mrc 10 20\n"
+        "MotionCorr/job002/mic_002.mrc 30 40\n"
+    )
+    src = tmp_path / "parts.star"
+    src.write_text(content)
+    out = tmp_path / "out"
+    out.mkdir()
+    split_particle_file(str(src), "star", "_picks", -1e9, str(out))
+    assert sorted(p.name for p in out.iterdir()) == [
+        "mic_001_picks.star", "mic_002_picks.star"]

@@ -129,3 +129,48 @@ def test_parse_mode16_rgb():
     arr, h, ext = M.parse(content)
     assert arr.shape == (2, 4, 5, 3)
     np.testing.assert_array_equal(arr, rgb)
+
+
+def test_write_fixes_stale_extended_header_size(tmp_path):
+    """write() records the extended-header length actually written, not a
+    stale header.next (which would shift every reader's data offset)."""
+    import numpy as np
+
+    from topaz_tpu.io import mrc
+
+    arr = np.ones((6, 6), np.float32)
+    p = str(tmp_path / "x.mrc")
+    mrc.write(p, arr)
+    _, h, _ = mrc.read(p)
+    mrc.write(p, arr, header=h.replace(next=128))  # stale claim, no ext data
+    a2, h2, e2 = mrc.read(p)
+    assert int(h2.next) == 0 and e2 == b""
+    np.testing.assert_array_equal(a2, arr)
+
+
+def test_load_image_float16_promoted_and_header_standardize(tmp_path):
+    """Mode-12 (float16) MRC loads as float32 (loader.py:55-56) and MRC
+    standardization uses the HEADER amean/rms (loader.py:57-59)."""
+    import numpy as np
+
+    from topaz_tpu.io import mrc as M
+    from topaz_tpu.io.image import load_image
+
+    data16 = (np.arange(24, dtype=np.float16) / 8).reshape(4, 6)
+    header = M.default_header((1, 4, 6), dtype=np.float16)
+    content = header.tobytes() + data16.tobytes()
+    p = tmp_path / "h.mrc"
+    p.write_bytes(content)
+    x = load_image(str(p))
+    assert x.dtype == np.float32
+    np.testing.assert_allclose(x, data16.astype(np.float32))
+
+    # header-stat standardization
+    arr = np.arange(36, dtype=np.float32).reshape(6, 6)
+    p2 = str(tmp_path / "s.mrc")
+    M.write(p2, arr)
+    _, h, _ = M.read(p2)
+    h = h.replace(amean=10.0, rms=2.0)
+    M.write(p2, arr, header=h)
+    xs = load_image(p2, standardize=True)
+    np.testing.assert_allclose(xs, (arr - 10.0) / 2.0, rtol=1e-6)

@@ -145,3 +145,29 @@ def test_tiled_scoring_reuses_compiled_program(rng):
     whole, _ = apply_picker(spec, params, a[None], state=state, dense=True)
     np.testing.assert_allclose(ya, np.asarray(whole[0]), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_pooling_geometry_and_kinds():
+    """convN pooling keeps the named receptive field via padded pools
+    (basic.py:55), avg and max genuinely differ, and resnet rejects 'avg'
+    with the contract (the reference crashes opaquely)."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from topaz_tpu.models.picker import (apply_picker, init_picker,
+                                         make_picker_spec)
+
+    spec_max = make_picker_spec("conv31", units=4, pooling="max")
+    spec_avg = make_picker_spec("conv31", units=4, pooling="avg")
+    assert spec_max.width == 31 and spec_avg.width == 31
+
+    params, state = init_picker(spec_max, jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).normal(
+        size=(1, 31, 31)).astype(np.float32)
+    y_max, _ = apply_picker(spec_max, params, x, state=state, dense=False)
+    y_avg, _ = apply_picker(spec_avg, params, x, state=state, dense=False)
+    assert not np.allclose(np.asarray(y_max), np.asarray(y_avg))
+
+    with pytest.raises(ValueError, match="pooling='max' only"):
+        make_picker_spec("resnet8", units=4, pooling="avg")

@@ -388,7 +388,10 @@ def split_particle_file(input_file: str, format: str, suffix: str,
         if star.SCORE_COLUMN_NAME in table.columns:
             table = table.loc[table[star.SCORE_COLUMN_NAME] >= threshold]
         for image_name, group in table.groupby("MicrographName"):
-            image_name = os.path.splitext(image_name)[0]
+            # RELION MicrographName is conventionally a relative path
+            # (MotionCorr/job002/mic.mrc); the reference joins it verbatim
+            # and crashes on the missing subdirectories (files.py:313-316)
+            image_name = os.path.splitext(os.path.basename(image_name))[0]
             with open(os.path.join(output_dir, image_name + suffix + ext), "w") as f:
                 star.write(group, f)
     else:

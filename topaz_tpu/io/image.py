@@ -56,6 +56,8 @@ def load_image(path: str, standardize: bool = False, make_image: bool = False,
     ext_header = b""
     if ext == ".mrc" or ext == ".mrcs":
         x, header, ext_header = mrc.read(path)
+        if x.dtype == np.float16:  # mode-12: promote (loader.py:55-56)
+            x = x.astype(np.float32)
     elif ext in (".tiff", ".tif"):
         x = _load_pil(path)
     elif ext == ".png":
@@ -68,7 +70,11 @@ def load_image(path: str, standardize: bool = False, make_image: bool = False,
         raise ValueError(f"Unsupported image format: {path}")
 
     if standardize:
-        x = (x - x.mean()) / x.std()
+        if header is not None and float(header.rms) > 0:
+            # MRC standardizes by the HEADER statistics (loader.py:57-59)
+            x = (x - float(header.amean)) / float(header.rms)
+        else:
+            x = (x - x.mean()) / x.std()
 
     if return_header:
         return x, header, ext_header

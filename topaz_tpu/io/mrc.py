@@ -237,7 +237,10 @@ def write(
             exthd_size=len(extended_header),
         )
     else:
-        header = header.replace(mode=2)
+        # the extended-header length actually written wins over whatever
+        # the caller's header claimed (a stale next would shift every
+        # reader's data_offset into garbage)
+        header = header.replace(mode=2, next=len(extended_header))
         nz, ny, nx = array.shape
         if (int(header.nx), int(header.ny), int(header.nz)) != (nx, ny, nz):
             # data was resized (e.g. denoise --downsample): never write a
@@ -285,6 +288,11 @@ class MrcMemmap:
     def crop(self, y0: int, x0: int, height: int, width: int) -> np.ndarray:
         """2D crop with zero padding for out-of-bounds regions
         (semantics of topaz/utils/data/memory_mapped_data.py:45-70)."""
+        if self._mm.ndim != 2:
+            raise ValueError(
+                f"crop() reads 2D windows; {self.path} is a volume/stack "
+                f"with shape {tuple(self.shape)} — index a section first "
+                f"(e.g. mm[z])")
         H, W = self.shape[-2], self.shape[-1]
         out = np.zeros((height, width), dtype=np.float32)
         ys, ye = max(0, y0), min(H, y0 + height)

@@ -45,6 +45,14 @@ def _clean_column(raw: str) -> str:
     return name
 
 
+def _is_block_start(stripped: str) -> bool:
+    """A new STAR data block is a BARE ``data_<name>`` token — a body row
+    whose first cell merely starts with 'data' (e.g. a micrograph named
+    data001.mrc, or a 'data/job01/...' path) is particle data, not a block
+    terminator (the reference parser drops all such rows silently)."""
+    return stripped.startswith("data_") and len(stripped.split()) == 1
+
+
 def parse(f: IO[str]) -> pd.DataFrame:
     """Parse the first data_ block of a STAR file into a DataFrame."""
     columns = []
@@ -62,14 +70,13 @@ def parse(f: IO[str]) -> pd.DataFrame:
             if stripped.startswith("_"):
                 columns.append(_clean_column(stripped))
             elif stripped:
-                state = "in_body"
-                if not (stripped.startswith("#") or stripped.startswith(";")
-                        or stripped.startswith("data")):
-                    rows.append(stripped.split())
-                elif stripped.startswith("data"):
+                if _is_block_start(stripped):
                     break
+                state = "in_body"
+                if not (stripped.startswith("#") or stripped.startswith(";")):
+                    rows.append(stripped.split())
         elif state == "in_body":
-            if stripped.startswith("data"):
+            if _is_block_start(stripped):
                 break
             if stripped.startswith("#") or stripped.startswith(";") or not stripped:
                 continue

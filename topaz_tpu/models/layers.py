@@ -64,9 +64,16 @@ class ResidSpec:
 
 @dataclass(frozen=True)
 class PoolSpec:
-    """MaxPool with fill-aware dilation (topaz/model/features/resnet.py:10-47)."""
+    """Pooling with fill-aware dilation (topaz/model/features/resnet.py:10-47).
+
+    ``kind`` selects max or avg (the convN archs accept both,
+    topaz/model/features/basic.py:34-38); ``padding`` mirrors the
+    reference's padded pools there (``pooling(3, stride=2, padding=1)``,
+    basic.py:55) — the resnet archs' MaxPool is unpadded."""
     kernel: int
     stride: int
+    kind: str = "max"
+    padding: int = 0
 
 
 @dataclass(frozen=True)
@@ -87,7 +94,8 @@ def receptive_field(specs: Sequence[LayerSpec]) -> int:
         k = spec.kernel
         s = spec.stride
         d = spec.dilation if isinstance(spec, ConvSpec) else 1
-        out = (out - 1) * s + 1 + (k - 1) * d
+        pad = getattr(spec, "padding", 0)
+        out = (out - 1) * s + 1 + (k - 1) * d - 2 * pad
     return out
 
 
@@ -144,6 +152,26 @@ def max_pool_nd(x: jnp.ndarray, kernel: int, stride: int = 1,
     return lax.reduce_window(
         x, -jnp.inf, lax.max, window, strides, padding="VALID", window_dilation=wd
     )
+
+
+def pool_nd(x: jnp.ndarray, kernel: int, stride: int = 1, dilation: int = 1,
+            dims: int = 2, kind: str = "max", padding: int = 0) -> jnp.ndarray:
+    """Max or average pooling with optional symmetric padding.
+
+    avg follows torch AvgPool defaults (count_include_pad=True: padded
+    zeros count toward the divisor). In the dense (filled) form the
+    padding scales with the accumulated dilation, like the kernel."""
+    window = (1,) + (kernel,) * dims + (1,)
+    strides = (1,) + (stride,) * dims + (1,)
+    wd = (1,) + (dilation,) * dims + (1,)
+    pad = padding * dilation
+    pads = ((0, 0),) + ((pad, pad),) * dims + ((0, 0),)
+    if kind == "avg":
+        s = lax.reduce_window(x, 0.0, lax.add, window, strides, padding=pads,
+                              window_dilation=wd)
+        return s / float(kernel**dims)
+    return lax.reduce_window(x, -jnp.inf, lax.max, window, strides,
+                             padding=pads, window_dilation=wd)
 
 
 def _activate(x: jnp.ndarray, activation: str, params=None) -> jnp.ndarray:
@@ -217,7 +245,8 @@ def apply_layer(
         base_dil = 1
 
     if isinstance(spec, PoolSpec):
-        y = max_pool_nd(x, spec.kernel, stride=eff_stride, dilation=base_dil, dims=dims)
+        y = pool_nd(x, spec.kernel, stride=eff_stride, dilation=base_dil,
+                    dims=dims, kind=spec.kind, padding=spec.padding)
         return y, state, acc_stride * spec.stride
 
     if isinstance(spec, ConvSpec):

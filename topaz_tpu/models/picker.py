@@ -140,7 +140,9 @@ def basic_conv_spec(layers: Sequence[int], units: int, unit_scaling: int = 1,
     for k in list(layers)[:-1]:
         specs.append(ConvSpec(nin, u, k, stride=stride, bn=bn, activation=activation))
         if pooling in ("max", "avg"):
-            specs.append(PoolSpec(3, 2))
+            # padded pool keeps conv31/63/127 receptive fields at their
+            # names (basic.py:55 pools with padding=1)
+            specs.append(PoolSpec(3, 2, kind=pooling, padding=1))
         if dropout > 0:
             specs.append(DropoutSpec(dropout))
         nin = u
@@ -216,6 +218,12 @@ def make_picker_spec(arch: str, units=32, bn: bool = False, dropout: float = 0.0
         raise ValueError(
             f"unknown architecture {arch!r}; available: {sorted(ARCHITECTURES)}"
         )
+    if arch.startswith("resnet") and pooling not in (None, "max"):
+        # the reference crashes on anything else ('avg' stays a string and
+        # gets called, resnet.py:214-218 + 290); fail with the contract
+        raise ValueError(
+            f"resnet architectures support pooling='max' only, got "
+            f"{pooling!r} (conv31/63/127 also accept 'avg')")
     kw = dict(units=units, bn=bn, dropout=dropout, pooling=pooling)
     if arch.startswith("conv"):
         kw["unit_scaling"] = unit_scaling

@@ -228,7 +228,12 @@ def non_maximum_suppression_3d(
 def nms_topk_2d(score: jnp.ndarray, r: int, threshold: float, k: int):
     """Fully on-device NMS returning fixed-size top-k results for fused
     pipelines: (scores[k], coords[k, 2] as (x, y), count). Entries past
-    ``count`` hold -inf / (-1, -1)."""
+    ``count`` hold -inf / (-1, -1).
+
+    Deliberately NOT routed through :func:`nms_topk_batched` with a length-1
+    batch: that form wedged TPU compilation (measured twice, >9 min vs
+    seconds for this one); the suppression mask comes from
+    :func:`nms_mask_2d` so the filter dispatch still lives in one place."""
     mask = nms_mask_2d(score, r, threshold)
     W = score.shape[1]
     flat = jnp.where(mask, score, NEG).ravel()
