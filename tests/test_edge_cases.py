@@ -138,3 +138,22 @@ def test_valid_mask_2d_3d():
     assert m[0].sum() == 6 and m[1].all()
     m3 = np.asarray(valid_mask((2, 3, 4), np.array([[1, 2, 3]])))
     assert m3.sum() == 6
+
+
+def test_denoise3d_missing_pretrained_clear_error(tmp_path, rng, capsys):
+    """denoise3d with unavailable pretrained 3D weights exits with a clear
+    pointer to the training path instead of a raw traceback."""
+    import pytest
+
+    from topaz_tpu.cli.commands.denoise3d import add_arguments
+    from topaz_tpu.denoise import denoise3d_main
+    from topaz_tpu.io import mrc
+
+    vol = rng.normal(size=(16, 24, 24)).astype(np.float32)
+    mrc.write(str(tmp_path / "t.mrc"), vol)
+    args = add_arguments().parse_args(
+        ["-m", "unet-3d", "-o", str(tmp_path), str(tmp_path / "t.mrc")])
+    with pytest.raises(SystemExit):
+        denoise3d_main(args)
+    err = capsys.readouterr().err
+    assert "even-train" in err and "Error:" in err

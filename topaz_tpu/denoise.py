@@ -827,8 +827,19 @@ def denoise3d_main(args):
             print("# Warning: no denoising model will be used", file=sys.stderr)
             return
         print("# Loading model:", args.model, file=sys.stderr)
-        denoiser = Denoise3D(args.model, devices=devices,
-                             dtype=getattr(args, "precision", None))
+        try:
+            denoiser = Denoise3D(args.model, devices=devices,
+                                 dtype=getattr(args, "precision", None))
+        except FileNotFoundError as e:
+            # this mirror ships no 3D pretrained weights
+            # (.MISSING_LARGE_BLOBS: unet-3d-10a/20a) — a raw traceback
+            # here helps nobody; point at the training path instead
+            print(f"Error: {e}", file=sys.stderr)
+            print("Hint: the 3D pretrained weights are not bundled in "
+                  "this installation; train a model with -a/--even-train-"
+                  "path and -b/--odd-train-path, then pass it with -m.",
+                  file=sys.stderr)
+            sys.exit(1)
 
     if len(args.volumes) < 1:
         return
