@@ -398,3 +398,33 @@ def test_paired_tiles_3d_odd_tilesize(tmp_path, rng):
     for x, y in tiles.batches(2, mode="train", shuffle=False):
         assert x.shape[1:] == (11, 11, 11)
         assert y.shape[1:] == (11, 11, 11)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_convert_unet3_sav_detects_residual_arch(tmp_path, rng):
+    """A whole-module UDenoiseNet3 .sav converts as 'unet3' (regression:
+    shape-identical to UDenoiseNet, it was misdetected as 'unet' and
+    silently returned the NOISE estimate instead of the denoised image)."""
+    import torch
+
+    ref_models = ref_module("topaz.denoising.models")
+    from topaz_tpu.models.denoise import APPLY_FNS
+    from topaz_tpu.models.denoise_factory import load_denoiser
+
+    torch.manual_seed(0)
+    ref = ref_models.UDenoiseNet3()
+    ref.eval()
+    sav = str(tmp_path / "n3.sav")
+    torch.save(ref, sav)
+
+    meta, params = load_denoiser(sav)
+    assert meta["arch"] == "unet3"
+    x = rng.normal(size=(64, 64)).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)[None, None]).numpy()[0, 0]
+    import jax.numpy as jnp
+
+    ours = np.asarray(APPLY_FNS["unet3"](
+        params, jnp.asarray(x)[None, :, :, None], dims=2,
+        precision="highest"))[0, :, :, 0]
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)

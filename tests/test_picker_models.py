@@ -171,3 +171,54 @@ def test_pooling_geometry_and_kinds():
 
     with pytest.raises(ValueError, match="pooling='max' only"):
         make_picker_spec("resnet8", units=4, pooling="avg")
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_convert_pooled_resnet_sav(tmp_path, rng):
+    """A reference picker trained with --pooling max converts with the
+    right architecture, pooling flag, and numerics (regression: pooled
+    resnet8 was misdetected as resnet16 and the params misaligned)."""
+    import torch
+
+    ref_classifier = ref_module("topaz.model.classifier")
+    ref_factory = ref_module("topaz.model.factory")
+
+    torch.manual_seed(0)
+    feat = ref_factory.get_feature_extractor("resnet8", units=8, bn="off",
+                                             pooling="max")
+    model = ref_classifier.LinearClassifier(feat)
+    model.eval()
+    sav = str(tmp_path / "pooled.sav")
+    torch.save(model, sav)
+
+    spec, params, state = load_picker(sav)
+    assert spec.arch == "resnet8"
+    assert any(getattr(s, "kind", None) == "max" for s in spec.features)
+    assert spec.width == model.width
+
+    x = rng.normal(size=(1, spec.width, spec.width)).astype(np.float32)
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(x)[:, None]).numpy().ravel()
+    ours, _ = apply_picker(spec, params, x, state=state, dense=False,
+                           precision="highest")
+    np.testing.assert_allclose(np.asarray(ours).ravel(), theirs,
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_convert_conv_arch_sav_clear_error(tmp_path):
+    """BasicConv (conv31/63/127) .sav conversion is not supported — the
+    converter says so clearly instead of a KeyError deep inside."""
+    import pytest as _pytest
+    import torch
+
+    ref_basic = ref_module("topaz.model.features.basic")
+    ref_classifier = ref_module("topaz.model.classifier")
+
+    torch.manual_seed(0)
+    feat = ref_basic.BasicConv([7, 5, 5], 8, bn=False)
+    model = ref_classifier.LinearClassifier(feat)
+    sav = str(tmp_path / "conv31.sav")
+    torch.save(model, sav)
+    with _pytest.raises(ValueError, match="conv31/63/127"):
+        load_picker(sav)

@@ -13,7 +13,7 @@ HWIO (DHWIO) channels-last for TPU-friendly convolutions.
 from __future__ import annotations
 
 import re
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -39,6 +39,37 @@ def _state_dict_of(obj) -> Dict[str, np.ndarray]:
         sd = obj
     return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
             for k, v in sd.items()}
+
+
+def params_tree_from_state_dict(sd: Dict[str, np.ndarray],
+                                allow_bn: bool = False) -> Dict:
+    """Generic torch state dict -> nested param tree (weights to HWIO).
+
+    1-D 'weight' entries are batch-norm scales; modules whose apply paths
+    do not implement batchnorm must reject them (``allow_bn=False``)
+    rather than silently loading-and-ignoring them."""
+    params: Dict = {}
+    for key, val in sd.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf not in ("weight", "bias"):
+            continue
+        val = np.asarray(val)
+        if leaf == "weight" and val.ndim == 1 and not allow_bn:
+            raise ValueError(
+                f"state dict entry {key!r} looks like batch-norm, which "
+                f"this module's apply path does not implement; conversion "
+                f"would silently drop the normalization")
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if leaf == "weight" and val.ndim > 1:
+            node["w"] = _to_hwio(val)
+        elif leaf == "weight":
+            node["scale"] = val
+        else:
+            node["b"] = val
+    return params
 
 
 def picker_params_from_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
@@ -99,30 +130,73 @@ def picker_params_from_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict
     return params, state
 
 
-def infer_picker_config(sd: Dict[str, np.ndarray]) -> Dict:
-    """Guess (arch, units, bn) from a reference picker state dict shape map."""
-    n_layers = 1 + max(
+def infer_picker_config(sd: Dict[str, np.ndarray],
+                        module_names: Optional[Dict[int, str]] = None) -> Dict:
+    """Guess (arch, units, bn, pooling) from a reference picker state dict.
+
+    ``module_names`` maps Sequential index -> module class name when the
+    source was a whole-module pickle (convert_picker_sav reads it off the
+    live module) — needed to tell MaxPool slots from Dropout slots.
+
+    Pooling-trained resnets are detected by the param-less MaxPool modules'
+    gaps in the Sequential indices; classification counts param-BEARING
+    modules so pooled and plain variants classify identically. Our spec
+    ordering mirrors the reference module ordering (pools and dropouts in
+    the same slots), so the torch Sequential indices map 1:1 onto spec
+    positions and the converted param keys line up without remapping."""
+    if "features.features.0.conv.weight" not in sd:
+        raise ValueError(
+            "this .sav uses the reference BasicConv (conv31/63/127) module "
+            "layout, which this converter does not support yet; train the "
+            "conv architectures natively ('topaz train --model conv31 ...') "
+            "instead of converting a reference checkpoint")
+    idxs = sorted({
         int(m.group(1))
         for k in sd
         if (m := re.match(r"^features\.features\.(\d+)\.", k))
-    )
+    })
+    n_layers = len(idxs)
+    gaps = set(range(max(idxs) + 1)) - set(idxs)
+    # param-less Sequential slots are MaxPool or Dropout — indices align
+    # onto our spec either way (both occupy one spec slot), but the
+    # GEOMETRY differs: pooled resnets use stride-1 convs + pools. The
+    # state dict alone cannot distinguish them; whole-module pickles can
+    # (module class names, see convert_picker_sav).
+    pooling = None
+    if gaps:
+        if module_names is None:
+            raise ValueError(
+                "this picker state dict has param-less Sequential slots "
+                "(MaxPool or Dropout) which change the architecture "
+                "geometry; convert from the whole-module .sav (the "
+                "reference's normal save format) so the module types can "
+                "be read")
+        if any("MaxPool" in module_names.get(i, "") for i in gaps):
+            pooling = "max"
     units = sd["features.features.0.conv.weight"].shape[0]
     bn = any(".bn" in k for k in sd)
     k0 = sd["features.features.0.conv.weight"].shape[-1]
-    if "features.features.1.conv0.weight" in sd and k0 == 7:
+    if any(f"features.features.{i}.conv0.weight" in sd for i in idxs) and k0 == 7:
         arch = "resnet8" if n_layers == 5 else "resnet16"
-    elif k0 == 5:
-        arch = "resnet6"
     else:
-        arch = {3: "conv31", 4: "conv63", 5: "conv127"}.get(n_layers, "conv127")
-    return {"arch": arch, "units": int(units), "bn": bool(bn)}
+        arch = "resnet6"
+    out = {"arch": arch, "units": int(units), "bn": bool(bn)}
+    if pooling:
+        out["pooling"] = pooling
+    return out
 
 
 def convert_picker_sav(path: str) -> Tuple[Dict, Dict, Dict]:
     """Load a reference .sav picker -> (meta, params, state)."""
     obj = _load_torch(path)
     sd = _state_dict_of(obj)
-    meta = infer_picker_config(sd)
+    module_names = None
+    try:  # whole-module pickles expose the Sequential's module types
+        module_names = {i: type(m).__name__
+                        for i, m in enumerate(obj.features.features)}
+    except AttributeError:
+        pass
+    meta = infer_picker_config(sd, module_names=module_names)
     meta["dims"] = 2
     params, state = picker_params_from_state_dict(sd)
     return meta, params, state

@@ -403,28 +403,23 @@ def init_denoiser(arch: str, rng, nf: int = 48, base_width: int = 11,
 
 
 def denoiser_params_from_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
-    """Map a torch denoiser state dict (enc1.0.weight, ...) to our tree."""
-    from topaz_tpu.models.convert import _to_hwio
+    """Map a torch denoiser state dict (enc1.0.weight, ...) to our tree
+    (shared walker; AffineDenoise stores 'filter.weight' directly)."""
+    from topaz_tpu.models.convert import params_tree_from_state_dict
 
-    params: Dict = {}
-    for key, val in sd.items():
-        parts = key.split(".")
-        leaf = parts[-1]
-        if leaf not in ("weight", "bias"):
-            continue
-        node = params
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        if leaf == "weight":
-            node["w"] = _to_hwio(np.asarray(val))
-        else:
-            node["b"] = np.asarray(val)
-    # AffineDenoise stores 'filter.weight' directly
-    return params
+    return params_tree_from_state_dict(sd, allow_bn=False)
 
 
-def infer_denoiser_arch(sd: Dict[str, np.ndarray]) -> Dict:
-    """Guess (arch, nf, base_width, top_width, dims) from state dict shapes."""
+def infer_denoiser_arch(sd: Dict[str, np.ndarray],
+                        class_name: str = None) -> Dict:
+    """Guess (arch, nf, base_width, top_width, dims) from state dict shapes.
+
+    ``class_name`` (the pickled module's type name, available for the
+    reference's whole-module .sav saves) resolves the one shape-ambiguous
+    case: UDenoiseNet3 has the same weight shapes as UDenoiseNet but
+    predicts the noise residual (y = x - dec1(h), models.py:447) — without
+    the hint such checkpoints would silently denoise WRONG (returning the
+    noise estimate instead of the image)."""
     if "filter.weight" in sd:
         return {"arch": "affine", "dims": 2}
     if "net.0.weight" in sd:
@@ -440,8 +435,10 @@ def infer_denoiser_arch(sd: Dict[str, np.ndarray]) -> Dict:
         dec1_in = sd["dec1.0.weight"].shape[1]
         if dec1_in == 2 * nf:
             arch = "unet2"
+        elif class_name == "UDenoiseNet3":
+            arch = "unet3"
         else:
-            arch = "unet"  # unet3 indistinguishable by shape; unet is standard
+            arch = "unet"
     else:
         arch = "unet-small"
     return {"arch": arch, "nf": nf, "base_width": base_width,

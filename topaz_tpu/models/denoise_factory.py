@@ -34,24 +34,42 @@ PRETRAINED_DENOISERS = {
 }
 
 
-def _ensure_converted(stem: str) -> str:
+def _convert_torch(path: str):
+    """Reference .sav -> (meta, params); the pickled module's class name
+    disambiguates UDenoiseNet3 from UDenoiseNet (identical shapes,
+    different output semantics)."""
+    from topaz_tpu.models.convert import _load_torch, _state_dict_of
+
+    obj = _load_torch(path)
+    sd = _state_dict_of(obj)
+    meta = infer_denoiser_arch(sd, class_name=type(obj).__name__)
+    return meta, denoiser_params_from_state_dict(sd)
+
+
+def _load_pretrained(stem: str):
+    """Converted pretrained weights: serve the cached .npz, else convert
+    from the reference .sav — caching when the install is writable and
+    serving from memory when it is not (read-only site-packages)."""
     npz_path = os.path.join(PRETRAINED_DIR, stem + ".npz")
     if os.path.exists(npz_path):
-        return npz_path
+        meta, trees = load_checkpoint(npz_path)
+        return meta, trees["params"]
     sav_path = os.path.join(REFERENCE_PRETRAINED_DIR, stem + ".sav")
     if not os.path.exists(sav_path):
         raise FileNotFoundError(
             f"pretrained denoiser weights {stem!r} are unavailable "
             f"(looked for {sav_path})"
         )
-    from topaz_tpu.models.convert import _load_torch, _state_dict_of
+    meta, params = _convert_torch(sav_path)
+    try:
+        os.makedirs(PRETRAINED_DIR, exist_ok=True)
+        save_checkpoint(npz_path, meta, params=params)
+    except OSError as e:
+        import sys
 
-    sd = _state_dict_of(_load_torch(sav_path))
-    meta = infer_denoiser_arch(sd)
-    params = denoiser_params_from_state_dict(sd)
-    os.makedirs(PRETRAINED_DIR, exist_ok=True)
-    save_checkpoint(npz_path, meta, params=params)
-    return npz_path
+        print(f"# note: could not cache converted weights ({e}); "
+              f"serving from memory", file=sys.stderr)
+    return meta, params
 
 
 def load_denoiser(name_or_path: str):
@@ -60,7 +78,7 @@ def load_denoiser(name_or_path: str):
     2 or 3. Arch geometry always comes from the checkpoint itself."""
     if name_or_path in PRETRAINED_DENOISERS:
         try:
-            path = _ensure_converted(PRETRAINED_DENOISERS[name_or_path])
+            return _load_pretrained(PRETRAINED_DENOISERS[name_or_path])
         except FileNotFoundError:
             # this mirror ships v0.2.1 but not v0.2.2 of the default unet
             if name_or_path == "unet":
@@ -68,12 +86,10 @@ def load_denoiser(name_or_path: str):
 
                 print("# WARNING: unet v0.2.2 weights unavailable; falling "
                       "back to unet-v0.2.1", file=sys.stderr)
-                path = _ensure_converted(PRETRAINED_DENOISERS["unet-v0.2.1"])
-            else:
-                raise
-    else:
-        path = name_or_path
+                return _load_pretrained(PRETRAINED_DENOISERS["unet-v0.2.1"])
+            raise
 
+    path = name_or_path
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"denoising model {name_or_path!r} is neither a pretrained alias "
@@ -84,11 +100,7 @@ def load_denoiser(name_or_path: str):
         meta, trees = load_checkpoint(path)
         return meta, trees["params"]
 
-    from topaz_tpu.models.convert import _load_torch, _state_dict_of
-
-    sd = _state_dict_of(_load_torch(path))
-    meta = infer_denoiser_arch(sd)
-    return meta, denoiser_params_from_state_dict(sd)
+    return _convert_torch(path)
 
 
 def new_denoiser(arch: str, nf: int = 48, base_width: int = 11,

@@ -194,23 +194,13 @@ def pyramidnet_width(scales=(2, 4, 8, 16)) -> int:
 
 def extras_params_from_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
     """Map a torch state dict of any extras module to our tree (module path
-    -> nested dict, weights to HWIO)."""
-    from topaz_tpu.models.convert import _to_hwio
+    -> nested dict, weights to HWIO). Rejects batch-norm state dicts with
+    a clear error: the extras apply paths do not implement batchnorm, so
+    loading bn weights would be silently wrong (the reference DenseNet
+    defaults to bn=True — pass bn=False when exporting for conversion)."""
+    from topaz_tpu.models.convert import params_tree_from_state_dict
 
-    params: Dict = {}
-    for key, val in sd.items():
-        parts = key.split(".")
-        leaf = parts[-1]
-        if leaf not in ("weight", "bias"):
-            continue
-        node = params
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        if leaf == "weight":
-            node["w"] = _to_hwio(np.asarray(val))
-        else:
-            node["b"] = np.asarray(val)
-    return params
+    return params_tree_from_state_dict(sd, allow_bn=False)
 
 
 EXTRA_ARCHS = {

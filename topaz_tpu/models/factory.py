@@ -58,8 +58,19 @@ def _ensure_converted(stem: str) -> str:
     from topaz_tpu.models.convert import convert_picker_sav
 
     meta, params, state = convert_picker_sav(sav_path)
-    os.makedirs(PRETRAINED_DIR, exist_ok=True)
-    save_checkpoint(npz_path, meta, params=params, state=state)
+    try:
+        os.makedirs(PRETRAINED_DIR, exist_ok=True)
+        save_checkpoint(npz_path, meta, params=params, state=state)
+    except OSError as e:  # read-only install: reconvert per process
+        import sys
+
+        print(f"# note: could not cache converted weights ({e}); "
+              f"converting in memory", file=sys.stderr)
+        import tempfile
+
+        tmp = os.path.join(tempfile.gettempdir(), stem + ".npz")
+        save_checkpoint(tmp, meta, params=params, state=state)
+        return tmp
     return npz_path
 
 
