@@ -208,3 +208,38 @@ def test_pipeline_bins_close_to_exact(tmp_path, rng):
         np.testing.assert_array_equal(np.sort(c_h, axis=0),
                                       np.sort(c_e, axis=0))
         np.testing.assert_allclose(s_h, s_e, rtol=1e-2, atol=1e-3)
+
+
+def test_pipeline_guards_and_prefetch_zero(tmp_path, rng):
+    """Late-round regressions: prefetch=0 must not mean 'unbounded queue';
+    user max_peaks clamps to the bucket size instead of crashing top_k;
+    stacks/volumes and 3D denoisers are rejected with clear errors."""
+    import pytest
+
+    from topaz_tpu.io import mrc
+    from topaz_tpu.pipeline import MicrographPipeline
+
+    img = rng.normal(0, 1, (48, 48)).astype(np.float32)
+    p = tmp_path / "m.mrc"
+    mrc.write(str(p), img)
+
+    pipe = MicrographPipeline(model="resnet8_u32", scale=1, radius=4,
+                              threshold=999.0, normalize=True,
+                              bucket_step=64, max_peaks=10**6)
+    out = list(pipe.process([str(p)], batch_size=1, prefetch=0))
+    assert len(out) == 1  # clamped top_k compiled and ran; no picks
+
+    stack = rng.normal(0, 1, (3, 32, 32)).astype(np.float32)
+    ps = tmp_path / "s.mrcs"
+    mrc.write(str(ps), stack)
+    with pytest.raises(ValueError, match="single 2D images"):
+        list(pipe.process([str(ps)], batch_size=1))
+
+    from topaz_tpu.models.denoise_factory import new_denoiser, save_denoiser
+
+    meta, params = new_denoiser("unet-3d", nf=4, base_width=3, dims=3)
+    d3 = str(tmp_path / "d3.npz")
+    save_denoiser(d3, meta, params)
+    with pytest.raises(ValueError, match="3D denoiser"):
+        MicrographPipeline(model="resnet8_u32", denoise_model=d3, scale=1,
+                           radius=4, threshold=0.0)

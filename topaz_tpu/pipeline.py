@@ -81,6 +81,11 @@ class MicrographPipeline:
                                                           load_denoiser)
 
             self.dmeta, self.dparams = load_denoiser(denoise_model)
+            if self.dmeta.get("dims", 2) != 2:
+                raise ValueError(
+                    f"denoise_model {denoise_model!r} is a 3D denoiser; "
+                    f"the micrograph pipeline is 2D (use denoise3d for "
+                    f"tomograms)")
             self.denoiser = apply_fn_for(self.dmeta)
         self._fns: Dict = {}       # (bucket, batch) -> main program
         self._prep_fns: Dict = {}  # (raw shape, bucket) -> downsample+embed
@@ -122,7 +127,8 @@ class MicrographPipeline:
         # the bucket-shaped score map never truncates
         bh, bw = bucket
         if self.max_peaks is not None:
-            k = self.max_peaks
+            # lax.top_k requires k <= number of candidates
+            k = min(self.max_peaks, bh * bw)
         else:
             k = min(bh * bw,
                     int((bh + r) * (bw + r) / max(np.pi * (r / 2.0) ** 2, 1)) + 16)
@@ -224,6 +230,14 @@ class MicrographPipeline:
         from topaz_tpu.io.image import load_image
 
         raw = np.asarray(load_image(path), dtype=np.float32)
+        if raw.ndim != 2:
+            # .mrcs stacks, 3D volumes, RGB images: the shape probe reads
+            # only (ny, nx), so the embed/mask math would silently corrupt
+            raise ValueError(
+                f"{path}: the batched micrograph pipeline handles single "
+                f"2D images (got shape {raw.shape}); denoise --stack "
+                f"handles movie stacks and denoise3d/extract --dims 3 "
+                f"handle volumes")
         if self.scale > 1 and not self.host_downsample:
             return raw
         if self.scale > 1:
@@ -284,7 +298,9 @@ class MicrographPipeline:
             except BaseException as e:  # noqa: BLE001
                 out_q.put(e)
 
-        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        # maxsize=0 would mean UNBOUNDED (the whole dataset buffered in
+        # host RAM), not "no prefetch" — clamp to at least one slot
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         thread = threading.Thread(target=load_batches, args=(q,), daemon=True)
         thread.start()
 
