@@ -38,23 +38,33 @@ BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
 
 
-def build_pipeline():
+def build_pipeline(fast: bool = False):
+    """The per-micrograph compute pipeline. ``fast=True`` builds the
+    documented fast profile (CLI ``--fast``): histogram-EM normalization
+    (bins=65536, all pixels) + bf16 denoise (params+activations bf16, f32
+    out). Scoring/NMS stay f32 in both profiles (pick parity)."""
     from topaz_tpu.models.denoise_factory import apply_fn_for, load_denoiser
     from topaz_tpu.models.factory import load_picker
     from topaz_tpu.models.picker import apply_picker
     from topaz_tpu.ops.fourier import downsample
-    from topaz_tpu.ops.gmm import norm_fit
+    from topaz_tpu.ops.gmm import norm_fit, norm_fit_hist
     from topaz_tpu.ops.nms import nms_topk_2d
 
     spec, params, state = load_picker("resnet8_u32")
     dmeta, dparams = load_denoiser("unet")
     dapply = apply_fn_for(dmeta)
+    if fast:
+        dparams = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.bfloat16), dparams)
 
     @jax.jit
     def extract(raw):
         """raw 4k -> (peak scores, coords, count) at 8x downsampled scale."""
         small = downsample(raw, 8)
-        mu, std, *_ = norm_fit(small.ravel())
+        if fast:
+            mu, std, *_ = norm_fit_hist(small.ravel(), bins=65536)
+        else:
+            mu, std, *_ = norm_fit(small.ravel())
         norm = (small - mu) / std
         score, _ = apply_picker(spec, params, norm[None], state=state,
                                 dense=True)
@@ -64,7 +74,9 @@ def build_pipeline():
     def denoise(raw):
         mu, std = jnp.mean(raw), jnp.std(raw)
         xin = ((raw - mu) / std)[None, :, :, None]
-        y = dapply(dparams, xin, dims=2)[0, :, :, 0]
+        if fast:
+            xin = xin.astype(jnp.bfloat16)
+        y = dapply(dparams, xin, dims=2).astype(jnp.float32)[0, :, :, 0]
         return y * std + mu
 
     return extract, denoise
@@ -111,13 +123,19 @@ def bench_denoise_bf16(raw) -> float:
     return N_ITERS / elapsed
 
 
-def bench_compute(rng) -> float:
+def bench_compute(rng, fast: bool = False, quality_ref=None):
     """Device-compute throughput: one resident 4k micrograph through
-    preprocess + extract + denoise@4k (round-1 headline, kept comparable)."""
+    preprocess + extract + denoise@4k (round-1 headline, kept comparable).
+
+    ``fast=True`` measures the documented fast profile; ``quality_ref``
+    (the f32 profile's (picks, denoised) on the same input) adds the
+    measured quality delta to the result."""
     raw = jnp.asarray(rng.normal(0, 1, (4096, 4096)).astype(np.float32))
 
-    print("# bench: building compute pipeline...", file=sys.stderr, flush=True)
-    extract, denoise = build_pipeline()
+    label = "fast" if fast else "compute"
+    print(f"# bench: building {label} pipeline...", file=sys.stderr,
+          flush=True)
+    extract, denoise = build_pipeline(fast=fast)
 
     # warmup / compile
     t0 = time.time()
@@ -125,7 +143,7 @@ def bench_compute(rng) -> float:
         scores, coords, count = extract(raw)
         den = denoise(raw)
         _ = np.asarray(scores[:1]), np.asarray(den[:1, :1])
-    print(f"# bench: compute warmup/compile done in {time.time() - t0:.1f}s",
+    print(f"# bench: {label} warmup/compile done in {time.time() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
     # timed: N micrographs through the full pipeline, dispatched back to
@@ -143,7 +161,31 @@ def bench_compute(rng) -> float:
     for coords, edge in outs:
         _ = np.asarray(coords), np.asarray(edge)
     elapsed = time.time() - t0
-    return N_ITERS / elapsed
+    tput = N_ITERS / elapsed
+
+    # quality snapshot on this input (fetched once, untimed)
+    scores, coords, count = extract(raw)
+    n = int(np.asarray(count))
+    picks = (np.asarray(scores)[:n], np.asarray(coords)[:n])
+    den = np.asarray(denoise(raw))
+    quality = None
+    if quality_ref is not None:
+        (s_ref, c_ref), den_ref = quality_ref
+        same = min(len(s_ref), len(picks[0]))
+        coords_equal = (len(s_ref) == len(picks[0])
+                        and np.array_equal(np.sort(c_ref, axis=0),
+                                           np.sort(picks[1], axis=0)))
+        quality = {
+            "picks_f32": len(s_ref),
+            "picks_fast": len(picks[0]),
+            "pick_coords_identical": bool(coords_equal),
+            "pick_score_max_abs_delta": float(
+                np.max(np.abs(picks[0][:same] - s_ref[:same]))
+                if same else 0.0),
+            "denoise_rel_err": float(
+                np.linalg.norm(den - den_ref) / np.linalg.norm(den_ref)),
+        }
+    return tput, (picks, den), quality
 
 
 TRAIN_BATCH = 256
@@ -261,7 +303,9 @@ def main():
     _wait_for_device()
     rng = np.random.default_rng(0)
 
-    compute_tput = bench_compute(rng)
+    compute_tput, f32_outputs, _ = bench_compute(rng)
+    fast_tput, _, fast_quality = bench_compute(
+        np.random.default_rng(0), fast=True, quality_ref=f32_outputs)
     pipeline_tput = bench_pipeline(rng)
     train_tput = bench_train(rng)
     bf16_denoise_tput = bench_denoise_bf16(
@@ -287,6 +331,12 @@ def main():
         "unit": "micrographs/sec",
         "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
         "extra": {
+            "fast_profile_mic_per_sec": round(fast_tput, 4),
+            "fast_profile_workload": (
+                "same compute workload under the documented --fast "
+                "profile: histogram-EM normalization (bins=65536) + bf16 "
+                "denoise; scoring/NMS stay f32"),
+            "fast_profile_quality_delta": fast_quality,
             "pipeline_end_to_end_mic_per_sec": round(pipeline_tput, 4),
             "pipeline_workload": (
                 f"{N_PIPELINE_FILES} distinct on-disk 4k MRCs -> threaded "

@@ -84,7 +84,11 @@ def test_all_commands_parse():
 def _run_cli(args, cwd):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # PYTHONPATH = repo ONLY: an inherited axon sitecustomize overrides
+    # JAX_PLATFORMS and would silently run these subprocesses over the
+    # tunneled TPU (slow remote compiles, occasional wedges); the test
+    # suite's contract is CPU (tests/conftest.py)
+    env["PYTHONPATH"] = REPO
     return subprocess.run(
         [sys.executable, "-m", "topaz_tpu"] + args,
         capture_output=True, text=True, cwd=cwd, env=env, timeout=1200,
@@ -258,3 +262,102 @@ def test_cli_denoise_bf16_precision(tmp_path, rng):
     assert r.returncode == 0, r.stderr
     y, _, _ = mrc.read(str(tmp_path / "out" / "m.mrc"))
     assert y.shape == (96, 96) and np.isfinite(y).all()
+
+
+def test_cli_compile_cache_default_on(tmp_path, rng):
+    """The persistent compile cache is ON by default for CLI processes
+    (VERDICT r2 item 4): the first cold process populates
+    $XDG_CACHE_HOME/topaz_tpu/jax_cache, a second cold process on the
+    same shapes adds no new entries (pure cache hits), and
+    TOPAZ_NO_COMPILE_CACHE=1 opts out."""
+    from topaz_tpu.io import mrc
+
+    x = rng.normal(2.0, 3.0, size=(96, 96)).astype(np.float32)
+    src = tmp_path / "m.mrc"
+    mrc.write(str(src), x)
+
+    cache_home = tmp_path / "xdg"
+    cache_dir = cache_home / "topaz_tpu" / "jax_cache"
+
+    def run(outdir, extra_env):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        # PYTHONPATH = repo ONLY: an inherited axon sitecustomize would
+        # force the remote TPU backend, whose compiles bypass the local
+        # persistent cache this test asserts on
+        env["PYTHONPATH"] = REPO
+        env["XDG_CACHE_HOME"] = str(cache_home)
+        env.pop("JAX_COMPILATION_CACHE_DIR", None)
+        env.update(extra_env)
+        r = subprocess.run(
+            [sys.executable, "-m", "topaz_tpu", "normalize", "-o",
+             str(tmp_path / outdir), str(src)],
+            capture_output=True, text=True, cwd=str(tmp_path), env=env,
+            timeout=1200)
+        assert r.returncode == 0, r.stderr
+
+    run("out0", {"TOPAZ_NO_COMPILE_CACHE": "1"})
+    assert not cache_dir.exists()  # opt-out leaves no cache behind
+
+    run("out1", {})
+    entries = set(os.listdir(cache_dir))
+    assert entries, "first CLI run populated no compile-cache entries"
+
+    run("out2", {})
+    assert set(os.listdir(cache_dir)) == entries, \
+        "second cold process recompiled (cache miss) on identical shapes"
+
+
+def test_cli_fast_profile(tmp_path, rng):
+    """--fast (the documented fast profile) on denoise and normalize:
+    resolves to bf16 / histogram-EM, runs, and stays close to the exact
+    default output."""
+    from topaz_tpu.io import mrc
+
+    src = tmp_path / "m.mrc"
+    x = rng.normal(0, 1, (96, 96)).astype(np.float32)
+    x[40:48, 40:48] -= 3.0
+    mrc.write(str(src), x)
+
+    r = _run_cli(["denoise", "-m", "fcnn", "--fast",
+                  "-o", str(tmp_path / "dfast"), str(src)],
+                 cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    r = _run_cli(["denoise", "-m", "fcnn",
+                  "-o", str(tmp_path / "dexact"), str(src)],
+                 cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    fast, _, _ = mrc.read(str(tmp_path / "dfast" / "m.mrc"))
+    exact, _, _ = mrc.read(str(tmp_path / "dexact" / "m.mrc"))
+    rel = np.linalg.norm(fast - exact) / np.linalg.norm(exact)
+    assert np.isfinite(fast).all() and rel < 0.02, rel
+
+    r = _run_cli(["normalize", "--fast", "-o", str(tmp_path / "nfast"),
+                  str(src)], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    # --sample 1 = exact full-pixel fit (the CLI default --sample 10
+    # subsamples randomly, which adds sampling noise the histogram-EM
+    # fast path does not have)
+    r = _run_cli(["normalize", "--sample", "1",
+                  "-o", str(tmp_path / "nexact"), str(src)],
+                 cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    nf, _, _ = mrc.read(str(tmp_path / "nfast" / "m.mrc"))
+    ne, _, _ = mrc.read(str(tmp_path / "nexact" / "m.mrc"))
+    rel = np.linalg.norm(nf - ne) / np.linalg.norm(ne)
+    assert rel < 0.02, rel
+
+    # the resolver leaves explicit user choices alone
+    import types as _types
+
+    from topaz_tpu.cli.fast import apply_fast
+
+    a = _types.SimpleNamespace(fast=True, precision="f32", bins=0)
+    apply_fast(a)
+    assert a.precision == "bf16" and a.bins == 65536
+    b = _types.SimpleNamespace(fast=True, precision="bf16", bins=1024)
+    apply_fast(b)
+    assert b.bins == 1024
+    c = _types.SimpleNamespace(fast=False, precision="f32", bins=0)
+    apply_fast(c)
+    assert c.precision == "f32" and c.bins == 0

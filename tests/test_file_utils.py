@@ -103,7 +103,7 @@ def test_convert_invert_y(tmp_path, rng):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo  # repo only: keep the axon sitecustomize (TPU) out of CPU subprocess tests
     r = subprocess.run(
         [sys.executable, "-m", "topaz_tpu", "convert", "--invert-y",
          "--imagedir", str(tmp_path), "--image-ext", "mrc",
@@ -275,7 +275,7 @@ def test_convert_invert_y_dotted_default_ext(tmp_path, rng):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo  # repo only: keep the axon sitecustomize (TPU) out of CPU subprocess tests
     r = subprocess.run(
         [sys.executable, "-m", "topaz_tpu", "convert", "--invert-y",
          "--imagedir", str(tmp_path),
@@ -330,3 +330,22 @@ def test_split_particle_file_relative_micrograph_names(tmp_path):
     split_particle_file(str(src), "star", "_picks", -1e9, str(out))
     assert sorted(p.name for p in out.iterdir()) == [
         "mic_001_picks.star", "mic_002_picks.star"]
+
+
+def test_conda_recipe_lints():
+    """conda-build/meta.yaml parses as YAML once the jinja is rendered
+    (packaging parity with the reference's conda-build/meta.yaml)."""
+    import os
+    import re
+
+    import yaml
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "conda-build", "meta.yaml")
+    text = open(path).read()
+    text = re.sub(r"\{%.*?%\}", "", text)
+    text = re.sub(r"\{\{.*?\}\}", "0.1.0", text)
+    meta = yaml.safe_load(text)
+    assert meta["package"]["name"] == "topaz-tpu"
+    assert any("jax" == r.split()[0] for r in meta["requirements"]["run"])
+    assert meta["build"]["entry_points"] == ["topaz = topaz_tpu.cli.main:main"]

@@ -15,6 +15,144 @@ pytestmark = pytest.mark.skipif(not reference_available(),
                                 reason="reference not mounted")
 
 
+def make_ctf_micrograph(rng, size=2048, n_particles=10, pixel_A=0.66,
+                        defocus_A=15000.0, seed_centers=None):
+    """Realistic synthetic micrograph (NOT plain Gaussian noise): solid-
+    sphere particle projections imaged through a CTF with envelope decay,
+    plus 1/f-colored ice background noise — the PSD and contrast-transfer
+    structure of a real cryo-EM exposure at the tutorial's geometry
+    (EMPIAR-10025 protocol: ~0.66 A/px raw, 8x downsample -> 5.28 A/px,
+    particle radius ~14 px at the downsampled scale,
+    tutorial/01_quick_start_guide.ipynb).
+
+    Returns (micrograph float32 [size,size], centers [(y,x) raw-scale]).
+    """
+    lam = 0.0197  # electron wavelength at 300 kV, Angstrom
+    cs = 2.7e7    # spherical aberration 2.7 mm in Angstrom
+    amp = 0.1     # amplitude contrast
+    bfac = 150.0  # envelope B-factor, A^2
+
+    # particle projections: solid spheres of ~74 A radius (14 px at 5.28)
+    r_px = 112.0  # raw pixels
+    signal = np.zeros((size, size), np.float32)
+    margin = int(r_px) + 32
+    if seed_centers is None:
+        centers = []
+        while len(centers) < n_particles:
+            cy, cx = rng.integers(margin, size - margin, size=2)
+            if all((cy - y) ** 2 + (cx - x) ** 2 > (2.2 * r_px) ** 2
+                   for y, x in centers):
+                centers.append((int(cy), int(cx)))
+    else:
+        centers = seed_centers
+    w = int(np.ceil(r_px)) + 2
+    yy, xx = np.mgrid[-w : w + 1, -w : w + 1].astype(np.float32)
+    d2 = yy**2 + xx**2
+    proj = np.sqrt(np.maximum(r_px**2 - d2, 0.0)) / r_px  # sphere projection
+    for cy, cx in centers:
+        signal[cy - w : cy + w + 1, cx - w : cx + w + 1] -= proj
+
+    # CTF in Fourier space (rfft grid), frequencies in 1/Angstrom
+    fy = np.fft.fftfreq(size, d=pixel_A)[:, None]
+    fx = np.fft.rfftfreq(size, d=pixel_A)[None, :]
+    f2 = fy**2 + fx**2
+    chi = np.pi * lam * defocus_A * f2 - 0.5 * np.pi * cs * lam**3 * f2**2
+    ctf = (np.sqrt(1 - amp**2) * np.sin(chi) + amp * np.cos(chi)) \
+        * np.exp(-bfac * f2 / 4.0)
+
+    import scipy.fft as sfft
+
+    sig_ctf = sfft.irfft2(sfft.rfft2(signal) * ctf, s=(size, size))
+
+    # colored ice/solvent background: white shot noise + 1/f structural
+    # noise (realistic falling PSD), SNR tuned so particles are visible
+    # but not trivial
+    white = rng.normal(0, 1.0, (size, size)).astype(np.float32)
+    pink_spec = sfft.rfft2(rng.normal(0, 1.0, (size, size)).astype(
+        np.float32)) / np.sqrt(np.maximum(np.sqrt(f2) / 0.002, 1.0))
+    pink = sfft.irfft2(pink_spec, s=(size, size)).astype(np.float32)
+    pink *= 1.0 / max(pink.std(), 1e-9)
+
+    x = 10.0 * sig_ctf.astype(np.float32) + white + 0.7 * pink
+    return x.astype(np.float32), centers
+
+
+def test_full_picking_chain_matches_reference_ctf(rng):
+    """Full-chain oracle on the CTF-modulated realistic fixture at the
+    tutorial protocol's geometry (8x downsample, radius 14): our chain and
+    the torch reference chain produce the same confident picks."""
+    import torch
+
+    ref_image = ref_module("topaz.utils.image")
+    ref_stats = ref_module("topaz.stats")
+    ref_factory = ref_module("topaz.model.factory")
+    ref_algorithms = ref_module("topaz.algorithms")
+
+    from topaz_tpu.models.factory import load_picker
+    from topaz_tpu.models.picker import apply_picker
+    from topaz_tpu.ops.fourier import downsample
+    from topaz_tpu.ops.gmm import normalize
+    from topaz_tpu.ops.nms import non_maximum_suppression
+
+    x, centers = make_ctf_micrograph(rng)
+    radius, threshold, scale = 14, -6.0, 8
+
+    small_ref = ref_image.downsample(x, scale)
+    norm_ref, _ = ref_stats.normalize(small_ref.copy(), alpha=900, beta=1,
+                                      num_iters=100, sample=1, method="gmm",
+                                      use_cuda=False)
+    model = ref_factory.load_model("resnet8_u32")
+    model.eval()
+    model.fill()
+    with torch.no_grad():
+        score_ref = model(
+            torch.from_numpy(np.asarray(norm_ref, dtype=np.float32))
+            [None, None]).numpy()[0, 0]
+    s_ref, c_ref = ref_algorithms.non_maximum_suppression(
+        score_ref, radius, threshold=threshold)
+
+    small = np.asarray(downsample(x, scale))
+    norm, _ = normalize(small, alpha=900, beta=1, num_iters=100,
+                        method="gmm", sample=1)
+    spec, params, state = load_picker("resnet8_u32")
+    score, _ = apply_picker(spec, params, np.asarray(norm)[None],
+                            state=state, dense=True, precision="highest")
+    score = np.asarray(score)[0]
+    s_ours, c_ours = non_maximum_suppression(score, radius,
+                                             threshold=threshold)
+
+    # atol 5e-3 (vs 1e-3 on the Gaussian fixture): the CTF fixture's
+    # stronger intensity mixture amplifies the torch-vs-XLA float
+    # reduction-order difference in the GMM fit by a few 1e-3 on the
+    # logit scale
+    np.testing.assert_allclose(score, score_ref, rtol=1e-3, atol=5e-3)
+
+    conf_ours = {tuple(c) for s, c in zip(s_ours, c_ours) if s > 0.05}
+    conf_ref = {tuple(c) for s, c in zip(s_ref, c_ref) if s > 0.05}
+    band_ours = {tuple(c) for s, c in zip(s_ours, c_ours)
+                 if -0.05 <= s <= 0.05}
+    band_ref = {tuple(c) for s, c in zip(s_ref, c_ref)
+                if -0.05 <= s <= 0.05}
+    assert conf_ours - (conf_ref | band_ref) == set()
+    assert conf_ref - (conf_ours | band_ours) == set()
+
+    # the planted CTF particles produce a real response: every center's
+    # local score maximum stands far above the background operating point
+    # (mean ~ -5.9 on this fixture), and several are confident picks.
+    # (The pretrained model is out-of-distribution on synthetic solid
+    # spheres, so per-particle confidence varies — the PARITY of the two
+    # chains above is the oracle; this floor just keeps the fixture
+    # honest as a pickable training target.)
+    local_max = []
+    for cy, cx in centers:
+        ty, tx = cy // scale, cx // scale
+        win = score[max(0, ty - radius) : ty + radius,
+                    max(0, tx - radius) : tx + radius]
+        local_max.append(float(win.max()))
+    assert all(m > -4.0 for m in local_max), local_max
+    assert sum(m > 0.05 for m in local_max) >= 3, local_max
+
+
 def test_full_picking_chain_matches_reference(rng):
     import torch
 

@@ -82,3 +82,40 @@ def test_gui_cli_launcher_points_at_asset():
 
     assert os.path.exists(gui.DEFAULT_GUI_PATH)
     assert gui.add_arguments() is not None
+
+
+def test_gui_generated_commands_parse_with_real_cli():
+    """Contract test (VERDICT r2 item 7): the GUI's command generator
+    templates must be valid argv for the actual CLI. Extract the template
+    literal from updateCommand(), render ${...} with representative
+    values, and parse every line with the real argparse tree — the test
+    fails if a GUI flag drifts from the CLI surface."""
+    import shlex
+
+    from topaz_tpu.cli.main import build_parser
+
+    _, p = _parse()
+    js = "\n".join(p.scripts)
+    m = re.search(r'\$\("cmd"\)\.value\s*=\s*`([^`]*)`', js)
+    assert m, "GUI command template not found"
+    template = m.group(1)
+    # render the JS interpolations with representative values
+    rendered = re.sub(r"\$\{[^}]*\}", "8", template)
+
+    # join backslash continuations (JS-escaped \\ first), drop comments
+    rendered = rendered.replace("\\\\\n", " ").replace("\\\n", " ")
+    commands = [ln.strip() for ln in rendered.splitlines()
+                if ln.strip() and not ln.strip().startswith("#")]
+    assert len(commands) >= 4  # preprocess, convert, train, extract
+
+    parser = build_parser()
+    for cmd in commands:
+        argv = shlex.split(cmd)
+        assert argv[0] == "topaz", cmd
+        try:
+            args = parser.parse_args(argv[1:])
+        except SystemExit as e:  # argparse rejected a GUI-generated flag
+            raise AssertionError(
+                f"GUI-generated command not accepted by the CLI: {cmd}"
+            ) from e
+        assert callable(args.func)

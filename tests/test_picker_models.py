@@ -222,3 +222,86 @@ def test_convert_conv_arch_sav_clear_error(tmp_path):
     torch.save(model, sav)
     with _pytest.raises(ValueError, match="conv31/63/127"):
         load_picker(sav)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_torchfree_sav_reader(tmp_path, rng, monkeypatch):
+    """.sav checkpoints load WITHOUT torch (SURVEY section 7.1): the
+    restricted unpickler + storage decoder reads bundled legacy
+    state-dict savs and whole-module pickles in both zip and legacy
+    formats, byte-identical to torch.load (reference load sites:
+    topaz/model/factory.py:54-56, topaz/denoising/models.py:608-610)."""
+    import sys
+
+    import torch
+
+    from topaz_tpu.models.convert import (_load_torch, _state_dict_of,
+                                          load_sav)
+
+    ref_factory = ref_module("topaz.model.factory")
+    model = ref_factory.load_model("resnet8_u32")
+    model.eval()
+    whole_zip = str(tmp_path / "whole_zip.sav")
+    whole_legacy = str(tmp_path / "whole_legacy.sav")
+    torch.save(model, whole_zip)
+    torch.save(model, whole_legacy, _use_new_zipfile_serialization=False)
+    state_zip = str(tmp_path / "state_zip.sav")
+    torch.save(model.state_dict(), state_zip)
+    bundled = ("/root/reference/topaz/pretrained/detector/"
+               "resnet8_u32.sav")
+    expected = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    # now make `import torch` fail: the reader must not need it
+    for mod in [m for m in sys.modules if m == "torch"
+                or m.startswith("torch.")]:
+        monkeypatch.setitem(sys.modules, mod, None)
+
+    import warnings as _warnings
+
+    for path in (bundled, state_zip, whole_zip, whole_legacy):
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # the torch fallback warns
+            sd = _state_dict_of(load_sav(path))
+        assert set(sd) == set(expected), path
+        for k in expected:
+            np.testing.assert_array_equal(np.asarray(sd[k]), expected[k])
+
+    # full conversion path (arch sniffing via stub module names) and
+    # numerical parity of the loaded picker, all torch-free
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        spec, params, state = load_picker(whole_legacy)
+    assert spec.arch == "resnet8"
+    x = rng.normal(size=(1, spec.width, spec.width)).astype(np.float32)
+    ours, _ = apply_picker(spec, params, x, state=state, dense=False,
+                           precision="highest")
+    spec2, params2, state2 = load_picker("resnet8_u32")
+    ref_out, _ = apply_picker(spec2, params2, x, state=state2, dense=False,
+                              precision="highest")
+    np.testing.assert_allclose(np.asarray(ours).ravel(),
+                               np.asarray(ref_out).ravel(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_3d_dense_crop_scoring_parity(rng):
+    """3D dense scoring is voxel-exact vs per-crop classification — the
+    invariant that rules out a 3D score bias (round-3 investigation of
+    the 'extract --dims 3 finds no picks at t=-6 on noise' observation;
+    see ROADMAP 'extract --dims 3 anomaly: resolved'). The distribution
+    difference vs 2D is a calibration property of the larger 3D receptive
+    field, not a dense-scoring defect."""
+    spec, params, state = new_picker("conv31", units=4, dims=3, seed=0)
+    vol = rng.normal(0, 1, (40, 40, 40)).astype(np.float32)
+    dense, _ = apply_picker(spec, params, vol[None], state=state,
+                            dense=True, precision="highest")
+    dense = np.asarray(dense)[0]
+    assert dense.shape == vol.shape
+    half = spec.width // 2
+    for (z, y, x) in [(15, 20, 22), (18, 18, 18), (20, 24, 16)]:
+        crop = vol[z - half : z + half + 1, y - half : y + half + 1,
+                   x - half : x + half + 1]
+        s, _ = apply_picker(spec, params, crop[None], state=state,
+                            dense=False, precision="highest")
+        np.testing.assert_allclose(
+            float(np.asarray(s).reshape(-1)[0]), dense[z, y, x],
+            rtol=1e-5, atol=1e-6)

@@ -210,6 +210,133 @@ def test_pipeline_bins_close_to_exact(tmp_path, rng):
         np.testing.assert_allclose(s_h, s_e, rtol=1e-2, atol=1e-3)
 
 
+def test_dead_frame_in_shared_batch(tmp_path, rng):
+    """A constant (std=0) frame in a shared batch must not poison it:
+    the dead frame yields 0 picks, passthrough denoise, and a warning,
+    while its batchmates' picks are identical to a solo run (documented
+    divergence: the reference NaNs such frames, topaz/stats.py:36-83)."""
+    import warnings as _warnings
+
+    from topaz_tpu.io import mrc
+    from topaz_tpu.pipeline import MicrographPipeline
+
+    good = tmp_path / "good.mrc"
+    _write_micrograph(good, rng, (96, 96), [(30, 30), (66, 60)])
+    dead = tmp_path / "dead.mrc"
+    mrc.write(str(dead), np.full((96, 96), 7.5, np.float32))
+
+    kw = dict(model="resnet8_u32", denoise_model="fcnn", scale=1,
+              radius=6, threshold=1.0, max_peaks=32, bucket_step=64)
+    pipe = MicrographPipeline(**kw)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        results = {p: (s, c, d) for p, s, c, d in
+                   pipe.process([str(good), str(dead)], batch_size=2)}
+    assert any("constant image" in str(w.message) and "dead.mrc"
+               in str(w.message) for w in rec)
+
+    s_dead, c_dead, d_dead = results[str(dead)]
+    assert len(s_dead) == 0
+    np.testing.assert_array_equal(d_dead, np.full((96, 96), 7.5, np.float32))
+
+    # batchmate unaffected: equals a solo run
+    solo = MicrographPipeline(**kw)
+    (_, s_solo, c_solo, d_solo), = list(solo.process([str(good)],
+                                                     batch_size=1))
+    s_good, c_good, d_good = results[str(good)]
+    assert len(s_good) == len(s_solo)
+    np.testing.assert_array_equal(c_good, c_solo)
+    np.testing.assert_allclose(s_good, s_solo, rtol=1e-4, atol=1e-5)
+    assert np.isfinite(d_good).all()
+
+
+def test_dead_frame_normalize_paths(tmp_path, rng):
+    """ops.gmm.normalize and the batched normalize workflow zero a dead
+    frame with a warning instead of NaN (exact, histogram, and affine)."""
+    import warnings as _warnings
+
+    from topaz_tpu.ops.gmm import normalize
+
+    x = np.full((32, 32), 3.0, np.float32)
+    for kw in (dict(), dict(bins=4096), dict(method="affine")):
+        with _warnings.catch_warnings(record=True) as rec:
+            _warnings.simplefilter("always")
+            out, md = normalize(x, **kw)
+        assert any("constant image" in str(w.message) for w in rec), kw
+        np.testing.assert_array_equal(out, np.zeros_like(x))
+
+    # batched workflow: one dead + one live micrograph, metadata intact
+    from topaz_tpu.io import mrc
+    from topaz_tpu.io.image import load_image
+    from topaz_tpu.preprocess import normalize_images_batched
+
+    live = tmp_path / "live.mrc"
+    _write_micrograph(live, rng, (64, 64), [(32, 32)])
+    dead = tmp_path / "dead.mrc"
+    mrc.write(str(dead), np.full((64, 64), -2.0, np.float32))
+    dest = tmp_path / "out"
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        normalize_images_batched([str(live), str(dead)], str(dest),
+                                 metadata=True, batch_size=2)
+    assert any("constant image" in str(w.message) and "dead.mrc"
+               in str(w.message) for w in rec)
+    out_dead = np.asarray(load_image(str(dest / "dead.mrc")))
+    np.testing.assert_array_equal(out_dead, np.zeros((64, 64), np.float32))
+    out_live = np.asarray(load_image(str(dest / "live.mrc")))
+    assert np.isfinite(out_live).all() and out_live.std() > 0
+
+
+def test_iterate_prefetched_propagates_and_orders():
+    """The shared producer-thread protocol: order-preserving, bounded, and
+    producer exceptions re-raise in the consumer (instead of hanging)."""
+    import pytest
+
+    from topaz_tpu.utils.batching import iterate_prefetched
+
+    assert list(iterate_prefetched(iter(range(7)), maxsize=2)) == \
+        list(range(7))
+    # None is a legal item (the old ad-hoc protocol used it as sentinel)
+    assert list(iterate_prefetched([None, 1, None])) == [None, 1, None]
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer died")
+
+    it = iterate_prefetched(boom, maxsize=1)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer died"):
+        list(it)
+
+
+def test_timings_include_device_compute(tmp_path, rng, monkeypatch):
+    """TOPAZ_TIMINGS policy: with timings on, the stage block syncs on the
+    device outputs (sync_for_timing), so per-batch numbers include compute;
+    with timings off it is a no-op preserving async dispatch."""
+    from topaz_tpu.utils import profiling
+
+    monkeypatch.delenv("TOPAZ_TIMINGS", raising=False)
+    monkeypatch.delenv("TOPAZ_PROFILE", raising=False)
+    assert not profiling.timing_enabled()
+    profiling.sync_for_timing((np.zeros(3),))  # no-op, no crash
+
+    monkeypatch.setenv("TOPAZ_TIMINGS", "1")
+    assert profiling.timing_enabled()
+
+    from topaz_tpu.pipeline import MicrographPipeline
+
+    p = tmp_path / "t.mrc"
+    _write_micrograph(p, rng, (64, 64), [(32, 32)])
+    profiling.reset()
+    pipe = MicrographPipeline(model="resnet8_u32", scale=1, radius=4,
+                              threshold=1.0, max_peaks=16)
+    list(pipe.process([str(p)], batch_size=1))
+    t = profiling.timings()
+    key, = [k for k in t if k.startswith("pipeline/batch")]
+    assert t[key]["count"] == 1 and t[key]["mean_ms"] > 0
+    profiling.reset()
+
+
 def test_pipeline_guards_and_prefetch_zero(tmp_path, rng):
     """Late-round regressions: prefetch=0 must not mean 'unbounded queue';
     user max_peaks clamps to the bucket size instead of crashing top_k;

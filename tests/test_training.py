@@ -324,3 +324,57 @@ def test_crop_sampler_packed_keys_consistent():
         arr = (np.int64(k) << 48) | (np.int64(z) << 34) \
             | (np.int64(y) << 17) | np.int64(x)
         assert np.int64(probe) == arr
+
+
+def test_train_from_list_with_space_paths(tmp_path, rng):
+    """Image-list files are read as TSV first, so paths containing spaces
+    train fine (documented divergence: the reference whitespace-splits,
+    topaz/training.py:69-91, and breaks on such paths). Bare
+    whitespace-separated lists still parse via the fallback."""
+    import shutil
+
+    from topaz_tpu.train.data import find_image_paths
+    from topaz_tpu.training import train_from_args
+
+    img_dir, targets_path = _make_synthetic_dataset(tmp_path, rng)
+    spaced = tmp_path / "my micrographs dir"
+    shutil.move(img_dir, spaced)
+    paths = sorted(str(p) for p in spaced.glob("*.mrc"))
+    assert all(" " in p for p in paths)
+
+    list_file = tmp_path / "images.txt"
+    pd.DataFrame({
+        "image_name": [os.path.splitext(os.path.basename(p))[0]
+                       for p in paths],
+        "path": paths,
+    }).to_csv(list_file, sep="\t", index=False)
+
+    got = find_image_paths(str(list_file))
+    assert list(got["path"]) == paths
+
+    # bare whitespace-separated list (no spaces in paths) still works
+    bare = tmp_path / "bare.txt"
+    bare.write_text("image_name   path\na   /tmp/a.mrc\nb   /tmp/b.mrc\n")
+    got_bare = find_image_paths(str(bare))
+    assert list(got_bare["path"]) == ["/tmp/a.mrc", "/tmp/b.mrc"]
+
+    args = types.SimpleNamespace(
+        describe=False, device=0, num_workers=0, num_threads=0,
+        train_images=str(list_file), train_targets=targets_path,
+        test_images=None, test_targets=None,
+        format_="auto", image_ext="",
+        k_fold=0, fold=0, cross_validation_seed=42,
+        num_particles=20, pi=None, radius=3, method="PN",
+        slack=-1, autoencoder=0, l2=0.0, learning_rate=2e-4,
+        natural=False, minibatch_size=16, minibatch_balance=0.25,
+        epoch_size=2, num_epochs=1,
+        pretrained=False, model="conv31", units=4, dropout=0.0, bn="off",
+        pooling=None, unit_scaling=2, ngf=32, patch_size=96, patch_padding=48,
+        save_prefix=str(tmp_path / "spmodel"),
+        output=str(tmp_path / "splog.tsv"),
+        test_batch_size=1, seed=0, dims=2,
+    )
+    train_from_args(args)
+    log = pd.read_csv(tmp_path / "splog.tsv", sep="\t")
+    assert np.isfinite(
+        log[log.split == "train"].loss.astype(float)).all()

@@ -1,0 +1,272 @@
+#!/usr/bin/env python
+"""Training-quality comparison on the CTF-modulated realistic fixture
+(VERDICT r2 item 6): train a picker from scratch with BOTH stacks on the
+same synthetic CTF micrographs + labels, then evaluate AP against the
+planted ground truth with the same metric code. Writes one JSON line; the
+results are recorded in PARITY.md's quality table.
+
+The reference stack runs torch-CPU with torchvision's rotate/flips stubbed
+by scipy equivalents (torchvision is not installed in this image; the stub
+reproduces the same augmentation semantics the reference requests).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/quality_compare.py
+       [--seeds 3] [--skip-reference]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+RADIUS_DS = 14      # extraction radius at the downsampled scale
+SCALE = 8
+N_TRAIN = 4
+N_TEST = 2
+N_PART = 10
+EPOCHS = 10
+EPOCH_SIZE = 100
+
+
+def make_dataset(tmp, seed):
+    """CTF-fixture micrographs at the tutorial geometry, pre-downsampled
+    and GMM-normalized (both stacks consume the same processed images)."""
+    from test_fullchain_oracle import make_ctf_micrograph
+
+    from topaz_tpu.io import mrc
+    from topaz_tpu.ops.fourier import downsample
+    from topaz_tpu.ops.gmm import normalize
+
+    rng = np.random.default_rng(seed)
+    proc = os.path.join(tmp, f"proc{seed}")
+    os.makedirs(proc, exist_ok=True)
+    rows_train, rows_test = [], []
+    train_dir = os.path.join(proc, "train")
+    test_dir = os.path.join(proc, "test")
+    os.makedirs(train_dir), os.makedirs(test_dir)
+    for i in range(N_TRAIN + N_TEST):
+        x, centers = make_ctf_micrograph(rng, n_particles=N_PART)
+        small = np.asarray(downsample(x, SCALE))
+        norm, _ = normalize(small)
+        split_dir, rows = ((train_dir, rows_train) if i < N_TRAIN
+                           else (test_dir, rows_test))
+        name = f"mic{i}"
+        mrc.write(os.path.join(split_dir, name + ".mrc"), norm)
+        for cy, cx in centers:
+            rows.append({"image_name": name, "x_coord": cx // SCALE,
+                         "y_coord": cy // SCALE})
+    t_train = os.path.join(proc, "train.txt")
+    t_test = os.path.join(proc, "test.txt")
+    pd.DataFrame(rows_train).to_csv(t_train, sep="\t", index=False)
+    pd.DataFrame(rows_test).to_csv(t_test, sep="\t", index=False)
+    return train_dir, t_train, test_dir, t_test
+
+
+def eval_ap(picks: pd.DataFrame, targets_path: str, radius: int) -> float:
+    from topaz_tpu.ops.metrics import average_precision, match_coordinates
+
+    gt = pd.read_csv(targets_path, sep="\t")
+    hits, scores, n_total = [], [], 0
+    for name, g in gt.groupby("image_name"):
+        p = picks[picks.image_name == name].sort_values(
+            "score", ascending=False)
+        assignment, _ = match_coordinates(
+            g[["x_coord", "y_coord"]].values,
+            p[["x_coord", "y_coord"]].values, radius)
+        hits.append(assignment)
+        scores.append(p["score"].values)
+        n_total += len(g)
+    return float(average_precision(np.concatenate(hits),
+                                   np.concatenate(scores), N=n_total))
+
+
+def run_ours(tmp, seed, train_dir, t_train):
+    import types
+
+    from topaz_tpu.training import train_from_args
+
+    args = types.SimpleNamespace(
+        describe=False, device=0, num_workers=0, num_threads=0,
+        train_images=train_dir, train_targets=t_train,
+        test_images=None, test_targets=None,
+        format_="auto", image_ext="",
+        k_fold=0, fold=0, cross_validation_seed=42,
+        num_particles=N_PART, pi=None, radius=3, method="GE-binomial",
+        slack=-1, autoencoder=0, l2=0.0, learning_rate=2e-4,
+        natural=False, minibatch_size=64, minibatch_balance=0.0625,
+        epoch_size=EPOCH_SIZE, num_epochs=EPOCHS,
+        pretrained=False, model="resnet8", units=16, dropout=0.0, bn="off",
+        pooling=None, unit_scaling=2, ngf=32, patch_size=96,
+        patch_padding=48,
+        save_prefix=os.path.join(tmp, f"ours{seed}"),
+        output=os.path.join(tmp, f"ours{seed}.tsv"),
+        test_batch_size=1, seed=seed, dims=2,
+    )
+    t0 = time.time()
+    train_from_args(args)
+    wall = time.time() - t0
+    ckpt = sorted(glob.glob(os.path.join(tmp, f"ours{seed}_epoch*.npz")))[-1]
+
+    # extract picks from the test micrographs
+    from topaz_tpu.models.factory import load_picker
+    from topaz_tpu.models.picker import apply_picker
+    from topaz_tpu.ops.nms import non_maximum_suppression
+    from topaz_tpu.io.image import load_image
+
+    spec, params, state = load_picker(ckpt)
+    return spec, params, state, wall
+
+
+def picks_ours(spec, params, state, test_dir):
+    from topaz_tpu.io.image import load_image
+    from topaz_tpu.models.picker import apply_picker
+    from topaz_tpu.ops.nms import non_maximum_suppression
+
+    rows = []
+    for p in sorted(glob.glob(os.path.join(test_dir, "*.mrc"))):
+        img = np.asarray(load_image(p), np.float32)
+        score, _ = apply_picker(spec, params, img[None], state=state,
+                                dense=True)
+        s, c = non_maximum_suppression(np.asarray(score)[0], RADIUS_DS,
+                                       threshold=-6.0)
+        name = os.path.splitext(os.path.basename(p))[0]
+        for si, (xi, yi) in zip(s, c):
+            rows.append({"image_name": name, "x_coord": xi, "y_coord": yi,
+                         "score": si})
+    return pd.DataFrame(rows)
+
+
+def _stub_torchvision():
+    """Minimal torchvision stand-in for the reference's augmentation calls
+    (rotate/hflip/vflip on CHW tensors)."""
+    import types
+
+    import torch
+    from scipy import ndimage
+
+    def rotate(img, angle):
+        arr = img.numpy()
+        out = ndimage.rotate(arr, angle, axes=(-1, -2), reshape=False,
+                             order=1, mode="constant")
+        return torch.from_numpy(np.ascontiguousarray(out))
+
+    def hflip(img):
+        return torch.from_numpy(np.ascontiguousarray(
+            img.numpy()[..., ::-1]))
+
+    def vflip(img):
+        return torch.from_numpy(np.ascontiguousarray(
+            img.numpy()[..., ::-1, :]))
+
+    functional = types.SimpleNamespace(rotate=rotate, hflip=hflip,
+                                       vflip=vflip)
+    transforms = types.SimpleNamespace(functional=functional)
+    tv = types.ModuleType("torchvision")
+    tv.transforms = transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = transforms  # type: ignore
+    sys.modules["torchvision.transforms.functional"] = functional  # type: ignore
+
+
+def run_reference(tmp, seed, train_dir, t_train, test_dir):
+    _stub_torchvision()
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    torch.manual_seed(seed)
+    torch.set_num_threads(os.cpu_count() or 1)
+    from topaz import training as ref_training
+    from topaz.model.factory import get_feature_extractor
+    from topaz.model.classifier import LinearClassifier
+
+    feat = get_feature_extractor("resnet8", units=16, dropout=0.0, bn="off")
+    model = LinearClassifier(feat)
+
+    import types
+
+    t0 = time.time()
+    model = ref_training.train_model(
+        model, train_dir, t_train, None, None,
+        use_cuda=False, save_prefix=None,
+        output=open(os.path.join(tmp, f"ref{seed}.tsv"), "w"),
+        args=types.SimpleNamespace(
+            describe=False, num_workers=0,
+            format_="auto", image_ext="",
+            k_fold=0, fold=0, cross_validation_seed=42,
+            num_particles=N_PART, pi=None, radius=3,
+            method="GE-binomial", slack=-1, autoencoder=0,
+            l2=0.0, learning_rate=2e-4, natural=False,
+            minibatch_size=64, minibatch_balance=0.0625,
+            epoch_size=EPOCH_SIZE, num_epochs=EPOCHS,
+            pretrained=False, model="resnet8", units=16, dropout=0.0,
+            bn="off", pooling=None, unit_scaling=2, ngf=32,
+            test_batch_size=1, dims=2,
+        ),
+        dims=2,
+    )
+    wall = time.time() - t0
+
+    from topaz.algorithms import non_maximum_suppression as ref_nms
+
+    model.eval()
+    model.fill()
+    rows = []
+    from topaz.utils.data.loader import load_image as ref_load
+
+    for p in sorted(glob.glob(os.path.join(test_dir, "*.mrc"))):
+        img = np.array(ref_load(p), copy=False).astype(np.float32)
+        with torch.no_grad():
+            score = model(torch.from_numpy(img)[None, None]).numpy()[0, 0]
+        s, c = ref_nms(score, RADIUS_DS, threshold=-6.0)
+        name = os.path.splitext(os.path.basename(p))[0]
+        for si, (xi, yi) in zip(s, c):
+            rows.append({"image_name": name, "x_coord": xi, "y_coord": yi,
+                         "score": si})
+    return pd.DataFrame(rows), wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--skip-reference", action="store_true")
+    opts = ap.parse_args()
+
+    results = {"ours": [], "reference": [], "fixture": "CTF-modulated "
+               "(see tests/test_fullchain_oracle.make_ctf_micrograph)",
+               "protocol": f"{N_TRAIN} train + {N_TEST} test micrographs, "
+               f"{N_PART} particles each, 8x downsample, GE-binomial, "
+               f"resnet8 u16, {EPOCHS}x{EPOCH_SIZE} steps, r={RADIUS_DS}"}
+    with tempfile.TemporaryDirectory(prefix="topaz_quality_") as tmp:
+        for seed in range(opts.seeds):
+            train_dir, t_train, test_dir, t_test = make_dataset(tmp, seed)
+            spec, params, state, wall = run_ours(tmp, seed, train_dir,
+                                                 t_train)
+            picks = picks_ours(spec, params, state, test_dir)
+            ap_ours = eval_ap(picks, t_test, RADIUS_DS)
+            results["ours"].append({"seed": seed, "ap": round(ap_ours, 4),
+                                    "train_sec": round(wall, 1)})
+            print(f"# ours seed {seed}: AP={ap_ours:.4f} ({wall:.0f}s)",
+                  file=sys.stderr, flush=True)
+            if not opts.skip_reference:
+                ref_picks, ref_wall = run_reference(tmp, seed, train_dir,
+                                                    t_train, test_dir)
+                ap_ref = eval_ap(ref_picks, t_test, RADIUS_DS)
+                results["reference"].append(
+                    {"seed": seed, "ap": round(ap_ref, 4),
+                     "train_sec": round(ref_wall, 1)})
+                print(f"# reference seed {seed}: AP={ap_ref:.4f} "
+                      f"({ref_wall:.0f}s)", file=sys.stderr, flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

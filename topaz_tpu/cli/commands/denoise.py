@@ -49,12 +49,17 @@ def add_arguments(parser=None):
     parser.add_argument("--num-workers", default=16, type=int, help="number of threads for loading data during training (compatibility flag)")
     parser.add_argument("-j", "--num-threads", type=int, default=0, help="number of host threads (compatibility flag)")
 
+    from topaz_tpu.cli.fast import add_fast_flag
+
+    add_fast_flag(parser)
     return parser
 
 
 def main(args):
+    from topaz_tpu.cli.fast import apply_fast
     from topaz_tpu.denoise import denoise_main
 
+    apply_fast(args)  # --fast -> --precision bf16
     denoise_main(args)
 
 

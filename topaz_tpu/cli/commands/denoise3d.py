@@ -41,12 +41,17 @@ def add_arguments(parser=None):
     parser.add_argument("-p", "--patch-padding", type=int, default=48, help="padding around each patch to remove edge artifacts (default: 48)")
     parser.add_argument("-d", "--device", type=int, default=-2, help="compute device/s; -2 uses ALL devices — denoising patch batches are sharded over the device mesh (default: -2)")
 
+    from topaz_tpu.cli.fast import add_fast_flag
+
+    add_fast_flag(parser)
     return parser
 
 
 def main(args):
+    from topaz_tpu.cli.fast import apply_fast
     from topaz_tpu.denoise import denoise3d_main
 
+    apply_fast(args)  # --fast -> --precision bf16
     if getattr(args, "auto_patch", False):
         args.patch_size = -2  # per-tomogram auto (Denoise3D.denoise)
     denoise3d_main(args)

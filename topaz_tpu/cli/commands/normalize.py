@@ -26,10 +26,16 @@ def add_arguments(parser=None):
     parser.add_argument("-o", "--destdir", help="output directory")
     parser.add_argument("--format", dest="format_", default="mrc", help="image format(s) to write, comma separated: mrc, tiff, png (default: mrc)")
     parser.add_argument("-v", "--verbose", action="store_true", help="verbose output")
+    from topaz_tpu.cli.fast import add_fast_flag
+
+    add_fast_flag(parser)
     return parser
 
 
 def main(args):
+    from topaz_tpu.cli.fast import apply_fast
+
+    apply_fast(args)  # --fast -> --bins 65536 (histogram EM)
     if args.device >= 0:  # pin single-device runs to the requested chip
         from topaz_tpu.parallel.devices import resolve_devices
 

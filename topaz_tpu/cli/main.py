@@ -75,16 +75,23 @@ def generate_description(module_groups, linewidth=78, indent="  ", delim="  "):
 
 
 def _setup_compilation_cache() -> None:
-    """Persist compiled programs across CLI invocations (first compiles on
-    this class of backend can take minutes)."""
+    """Persist compiled programs across CLI invocations, ON BY DEFAULT
+    (first compiles on this class of backend can take minutes — the cache
+    converts that into a one-time cost per shape).
+
+    Location: $XDG_CACHE_HOME/topaz_tpu/jax_cache (~/.cache/topaz_tpu/...),
+    a per-user writable path so read-only installs still cache. Opt out
+    with TOPAZ_NO_COMPILE_CACHE=1; an explicit JAX_COMPILATION_CACHE_DIR
+    wins (jax reads it natively)."""
     import os
 
+    if os.environ.get("TOPAZ_NO_COMPILE_CACHE"):
+        return
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
-    import topaz_tpu
-
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(topaz_tpu.__file__))), ".jax_cache")
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    cache = os.path.join(base, "topaz_tpu", "jax_cache")
     try:
         os.makedirs(cache, exist_ok=True)
         import jax
@@ -95,10 +102,11 @@ def _setup_compilation_cache() -> None:
         pass
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
+    """The full ``topaz`` argparse tree (also used by tests to validate
+    GUI-generated and documented command lines against the real CLI)."""
     import topaz_tpu
 
-    _setup_compilation_cache()
     parser = argparse.ArgumentParser(
         prog="topaz",
         formatter_class=argparse.RawDescriptionHelpFormatter,
@@ -118,8 +126,12 @@ def main() -> None:
             sub = subparsers.add_parser(module.name)
             module.add_arguments(sub)
             sub.set_defaults(func=module.main)
+    return parser
 
-    args = parser.parse_args()
+
+def main() -> None:
+    _setup_compilation_cache()
+    args = build_parser().parse_args()
     args.func(args)
 
 

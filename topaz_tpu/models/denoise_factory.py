@@ -38,9 +38,9 @@ def _convert_torch(path: str):
     """Reference .sav -> (meta, params); the pickled module's class name
     disambiguates UDenoiseNet3 from UDenoiseNet (identical shapes,
     different output semantics)."""
-    from topaz_tpu.models.convert import _load_torch, _state_dict_of
+    from topaz_tpu.models.convert import _state_dict_of, load_sav
 
-    obj = _load_torch(path)
+    obj = load_sav(path)
     sd = _state_dict_of(obj)
     meta = infer_denoiser_arch(sd, class_name=type(obj).__name__)
     return meta, denoiser_params_from_state_dict(sd)

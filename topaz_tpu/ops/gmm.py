@@ -240,7 +240,38 @@ def norm_fit(
     pis_out = jnp.concatenate([pi_g, jnp.array([1.0], jnp.float32)])
 
     i = jnp.argmax(logps)
-    return mus[i], stds[i], pis_out[i], logps[i], mus, stds, pis_out, logps
+    if w is None:
+        mean_all = jnp.mean(x)
+        rng = jnp.max(x) - jnp.min(x)
+    else:
+        mean_all = jnp.sum(x * w) / n
+        rng = (jnp.max(jnp.where(w > 0, x, -jnp.inf))
+               - jnp.min(jnp.where(w > 0, x, jnp.inf)))
+    return _guard_degenerate(i, mus, stds, pis_out, logps, mean_all, rng)
+
+
+def _guard_degenerate(i, mus, stds, pis_out, logps, mean_all, rng):
+    """Dead-frame guard — a documented divergence from the reference.
+
+    A constant image (valid-pixel range 0) makes every EM lane's variance 0,
+    so all logps are NaN and the selected mu/std are NaN; the reference then
+    divides by that std unguarded and NaNs the whole frame
+    (topaz/stats.py:36-83). Here such frames normalize to zeros
+    (mu=mean, std=1) with logp=-inf as the host-visible degeneracy signal
+    (callers warn on it). Non-constant images whose best lane still
+    produced a non-finite or zero std (pathological but possible in f32)
+    get the same fallback. Bit-parity for healthy images is unaffected:
+    jnp.where only swaps the selected scalars.
+    """
+    best_mu, best_std = mus[i], stds[i]
+    degen = jnp.logical_or(
+        rng <= 0,
+        jnp.logical_or(~jnp.isfinite(best_std), best_std <= 0))
+    mu_sel = jnp.where(degen, mean_all, best_mu)
+    std_sel = jnp.where(degen, 1.0, best_std)
+    pi_sel = jnp.where(degen, 1.0, pis_out[i])
+    logp_sel = jnp.where(degen, -jnp.inf, logps[i])
+    return mu_sel, std_sel, pi_sel, logp_sel, mus, stds, pis_out, logps
 
 
 @partial(jax.jit, static_argnames=("bins", "alpha", "beta", "num_iters"))
@@ -303,7 +334,16 @@ def norm_fit_hist(
     stds = jnp.sqrt(jnp.concatenate([var_g, var1c[None]]))
     pis_out = jnp.concatenate([pi_g, jnp.array([1.0], jnp.float32)])
     i = jnp.argmax(logps)
-    return mus[i], stds[i], pis_out[i], logps[i], mus, stds, pis_out, logps
+    mean_all = jnp.sum(centers * counts) / n
+    return _guard_degenerate(i, mus, stds, pis_out, logps, mean_all, hi - lo)
+
+
+def _warn_degenerate():
+    import warnings
+
+    warnings.warn(
+        "constant image (std=0): normalized output is all zeros (the "
+        "reference produces NaNs for such frames, topaz/stats.py:36-83)")
 
 
 def normalize(
@@ -331,6 +371,9 @@ def normalize(
         mu = float(x.mean())
         std = float(x.std())
         metadata = {"mu": mu, "std": std, "pi": 1}
+        if std == 0 or not np.isfinite(std):
+            _warn_degenerate()
+            return np.zeros_like(x, dtype=np.float32), metadata
         return ((x - mu) / std).astype(np.float32), metadata
 
     if bins > 0:
@@ -341,6 +384,8 @@ def normalize(
             )
         )
         mu, std = float(mu), float(std)
+        if np.isneginf(logp):
+            _warn_degenerate()
         return ((x - mu) / std).astype(np.float32), {
             "mu": mu, "std": std, "pi": float(pi), "logp": float(logp),
             "mus": mus, "stds": stds, "pis": pis, "logps": logps,
@@ -362,6 +407,8 @@ def normalize(
         )
     )
     mu, std = float(mu), float(std)
+    if np.isneginf(logp):
+        _warn_degenerate()
     out = ((x - mu) / std).astype(np.float32)
     metadata = {
         "mu": mu,

@@ -27,8 +27,7 @@ compiles once per bucket. A host-side prefetch thread keeps the device fed.
 
 from __future__ import annotations
 
-import queue
-import threading
+import warnings
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -54,6 +53,7 @@ class MicrographPipeline:
         host_downsample: bool = False,
         num_workers: int = 4,
         bins: int = 0,
+        dtype=None,
     ):
         from topaz_tpu.models.factory import load_picker
 
@@ -76,6 +76,10 @@ class MicrographPipeline:
         self.bins = int(bins)
         self.spec, self.params, self.state = load_picker(model)
         self.denoiser = None
+        # dtype='bf16': the fast profile's denoise arm (params +
+        # activations bf16, f32 out; scoring and NMS stay f32 so picks
+        # keep reference parity) — same contract as Denoise(dtype=...)
+        self.dtype = dtype
         if denoise_model is not None:
             from topaz_tpu.models.denoise_factory import (apply_fn_for,
                                                           load_denoiser)
@@ -86,14 +90,26 @@ class MicrographPipeline:
                     f"denoise_model {denoise_model!r} is a 3D denoiser; "
                     f"the micrograph pipeline is 2D (use denoise3d for "
                     f"tomograms)")
-            self.denoiser = apply_fn_for(self.dmeta)
+            base = apply_fn_for(self.dmeta)
+            if dtype in ("bf16", "bfloat16"):
+                import jax
+                import jax.numpy as jnp
+
+                self.dparams = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, jnp.bfloat16), self.dparams)
+                self.denoiser = (
+                    lambda p, x, dims=2, precision=None:
+                    base(p, x.astype(jnp.bfloat16), dims=dims,
+                         precision=precision).astype(jnp.float32))
+            else:
+                self.denoiser = base
         self._fns: Dict = {}       # (bucket, batch) -> main program
         self._prep_fns: Dict = {}  # (raw shape, bucket) -> downsample+embed
 
     @property
     def num_programs(self) -> Dict[str, int]:
         """Compiled-program census: 'main' = heavy score+NMS programs (one
-        per bucket x batch), 'prep' = tiny per-geometry downsample FFTs."""
+        per bucket), 'prep' = tiny per-geometry downsample FFTs."""
         return {"main": len(self._fns), "prep": len(self._prep_fns)}
 
     # -- shape bucketing ----------------------------------------------------
@@ -112,7 +128,7 @@ class MicrographPipeline:
 
     # -- compiled per-bucket programs ---------------------------------------
 
-    def _build(self, bucket: Tuple[int, int], batch: int):
+    def _build(self, bucket: Tuple[int, int]):
         import jax
         import jax.numpy as jnp
 
@@ -143,6 +159,17 @@ class MicrographPipeline:
             B = padded.shape[0]
             mask = valid_mask((bh, bw), valid)
             maskf = mask.astype(padded.dtype)
+            # dead-frame guard (documented divergence: the reference's
+            # unguarded std division NaNs the whole frame,
+            # topaz/stats.py:36-83 / topaz/denoise.py:274-296; in a shared
+            # batch that would silently poison results with no trace).
+            # Here a constant frame yields 0 picks + passthrough denoise,
+            # and the flag is surfaced so the host can warn per path.
+            nv = jnp.sum(maskf, axis=(1, 2), keepdims=True)
+            m2 = jnp.sum(padded * maskf, axis=(1, 2), keepdims=True) / nv
+            v2 = jnp.sum(maskf * (padded - m2) ** 2, axis=(1, 2),
+                         keepdims=True) / nv
+            degen = (v2 <= 0.0)[:, 0, 0]
             if normalize:
                 if bins > 0:
                     fit_one = lambda xf, wf: norm_fit_hist(xf, bins=bins,
@@ -162,15 +189,14 @@ class MicrographPipeline:
             scores, _ = apply_picker(spec, params, norms, state=state,
                                      dense=True, precision=precision)
             scores = jnp.where(mask, scores, NEG)
+            scores = jnp.where(degen[:, None, None], NEG, scores)
             vals, coords, counts = nms_topk_batched(scores, r, t, k)
-            out = (vals, coords, counts)
+            out = (vals, coords, counts, degen)
             if denoiser is not None:
                 # per-image masked statistics either way (reference
-                # _denoise semantics, topaz/denoise.py:274-296)
-                nv = jnp.sum(maskf, axis=(1, 2), keepdims=True)
-                m2 = jnp.sum(padded * maskf, axis=(1, 2), keepdims=True) / nv
-                s2 = jnp.sqrt(jnp.sum(maskf * (padded - m2) ** 2,
-                                      axis=(1, 2), keepdims=True) / nv)
+                # _denoise semantics, topaz/denoise.py:274-296); s2 is
+                # guarded so a dead frame passes through unchanged
+                s2 = jnp.where(degen[:, None, None], 1.0, jnp.sqrt(v2))
                 norm_in = ((padded - m2) / s2) * maskf
                 # small buckets run the U-Net truly batched (activation
                 # footprint B * bh*bw * 64ch stays well under HBM at the
@@ -186,6 +212,7 @@ class MicrographPipeline:
                                             precision=precision)[0, ..., 0],
                         norm_in)
                 den = y * s2 + m2
+                den = jnp.where(degen[:, None, None], padded, den)
                 out = out + (den,)
             return out
 
@@ -193,11 +220,12 @@ class MicrographPipeline:
 
         return jit_sharded_args(fn, self.mesh, ("data", "data"))
 
-    def _fn_for(self, bucket: Tuple[int, int], batch: int):
-        key = (bucket, batch)
-        if key not in self._fns:
-            self._fns[key] = self._build(bucket, batch)
-        return self._fns[key]
+    def _fn_for(self, bucket: Tuple[int, int]):
+        # keyed by bucket only: the jitted program retraces per batch size
+        # by itself, and _build closes over nothing batch-dependent
+        if bucket not in self._fns:
+            self._fns[bucket] = self._build(bucket)
+        return self._fns[bucket]
 
     def _prep_for(self, raw_shape: Tuple[int, int], bucket: Tuple[int, int]):
         """Tiny per-geometry program: Fourier-crop downsample + embed into
@@ -272,48 +300,35 @@ class MicrographPipeline:
             buckets[self._bucket_for(self._ds_shape(raw_shape))].append(
                 (p, raw_shape))
 
-        # background loader keeps the device fed; errors propagate to the
-        # consumer instead of hanging it
-        def load_batches(out_q):
+        # background loader keeps the device fed; the queue/sentinel
+        # protocol lives in utils.batching.iterate_prefetched
+        def load_batches():
             from topaz_tpu.utils.batching import window_batches
 
-            try:
-                for bucket, items in buckets.items():
-                    for chunk, n_real, loaded in window_batches(
-                            items,
-                            lambda it, b=bucket: self._load_one(it[0], b),
-                            batch_size, batch_size * (prefetch + 1),
-                            num_workers=self.num_workers):
-                        valid = np.array(
-                            [self._ds_shape(rs) for _, rs in chunk]
-                            + [self._ds_shape(chunk[-1][1])]
-                            * (batch_size - n_real),
-                            dtype=np.int32)
-                        if self.scale > 1 and not self.host_downsample:
-                            payload = loaded  # raws; device prep next
-                        else:
-                            payload = np.stack(loaded)
-                        out_q.put((bucket, chunk, n_real, payload, valid))
-                out_q.put(None)
-            except BaseException as e:  # noqa: BLE001
-                out_q.put(e)
+            for bucket, items in buckets.items():
+                for chunk, n_real, loaded in window_batches(
+                        items,
+                        lambda it, b=bucket: self._load_one(it[0], b),
+                        batch_size, batch_size * (prefetch + 1),
+                        num_workers=self.num_workers):
+                    valid = np.array(
+                        [self._ds_shape(rs) for _, rs in chunk]
+                        + [self._ds_shape(chunk[-1][1])]
+                        * (batch_size - n_real),
+                        dtype=np.int32)
+                    if self.scale > 1 and not self.host_downsample:
+                        payload = loaded  # raws; device prep next
+                    else:
+                        payload = np.stack(loaded)
+                    yield (bucket, chunk, n_real, payload, valid)
 
-        # maxsize=0 would mean UNBOUNDED (the whole dataset buffered in
-        # host RAM), not "no prefetch" — clamp to at least one slot
-        q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
-        thread = threading.Thread(target=load_batches, args=(q,), daemon=True)
-        thread.start()
+        from topaz_tpu.utils.batching import iterate_prefetched
+        from topaz_tpu.utils.profiling import stage, sync_for_timing
 
-        from topaz_tpu.utils.profiling import stage
-
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
+        for item in iterate_prefetched(load_batches,
+                                       maxsize=max(1, prefetch)):
             bucket, chunk, n_real, payload, valid = item
-            fn = self._fn_for(bucket, batch_size)
+            fn = self._fn_for(bucket)
             with stage(f"pipeline/batch{bucket}"):
                 if isinstance(payload, list):  # raws; downsample on device
                     smalls = [
@@ -324,11 +339,22 @@ class MicrographPipeline:
                 else:
                     arr = jnp.asarray(payload)
                 out = fn(arr, jnp.asarray(valid))
+                # timing policy: dispatch is async, so the stage block
+                # alone measures only Python dispatch; when timings or a
+                # profile are requested, block on the outputs here so the
+                # per-batch number includes device compute
+                sync_for_timing(out)
             scores = np.asarray(out[0])
             coords = np.asarray(out[1])
             counts = np.asarray(out[2])
-            dens = np.asarray(out[3]) if len(out) > 3 else None
+            degen = np.asarray(out[3])
+            dens = np.asarray(out[4]) if len(out) > 4 else None
             for i, (path, _raw_shape) in enumerate(chunk):
+                if degen[i]:
+                    warnings.warn(
+                        f"{path}: constant image (std=0) — no picks "
+                        f"emitted and denoising passes it through "
+                        f"unchanged (the reference NaNs such frames)")
                 n = int(counts[i])
                 result = (path, scores[i, :n], coords[i, :n])
                 if dens is not None:

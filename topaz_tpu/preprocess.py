@@ -115,8 +115,6 @@ def normalize_images_batched(
     to the histogram EM) — the reference's ``--sample`` pixel subsampling
     is a CPU-cost workaround that the device path does not need.
     """
-    import queue as _queue
-    import threading
     from collections import defaultdict
 
     import jax
@@ -124,8 +122,8 @@ def normalize_images_batched(
 
     from topaz_tpu.ops.gmm import norm_fit, norm_fit_hist
     from topaz_tpu.pipeline import _image_shape
-    from topaz_tpu.utils.batching import (round_bucket, valid_mask,
-                                          window_batches)
+    from topaz_tpu.utils.batching import (iterate_prefetched, round_bucket,
+                                          valid_mask, window_batches)
 
     formats = formats or ["mrc"]
     os.makedirs(dest, exist_ok=True)
@@ -158,7 +156,9 @@ def normalize_images_batched(
                 mu = jnp.sum(xf * wf, axis=1) / n
                 std = jnp.sqrt(
                     jnp.sum(wf * (xf - mu[:, None]) ** 2, axis=1) / n)
-                stats = (mu, std)
+                # dead-frame guard (see ops/gmm._guard_degenerate): report
+                # the true std but divide by 1 so output is zeros, not NaN
+                stats = (mu, jnp.where(std > 0, std, 1.0), std)
             elif bins > 0:
                 stats = jax.vmap(lambda x, w: norm_fit_hist(
                     x, bins=bins, alpha=alpha, beta=beta,
@@ -188,31 +188,18 @@ def normalize_images_batched(
         out[: x.shape[0], : x.shape[1]] = x
         return out, x.shape, header, ext_header
 
-    def produce(out_q):
-        try:
-            for bucket, items in buckets.items():
-                for chunk, n_real, loaded in window_batches(
-                        items, lambda p, b=bucket: load_one(p, b),
-                        batch_size, batch_size + max(1, num_workers),
-                        num_workers=num_workers):
-                    arr = np.stack([l[0] for l in loaded])
-                    valid = np.array([l[1] for l in loaded], dtype=np.int32)
-                    out_q.put((bucket, chunk, n_real, arr, valid,
-                               [l[2] for l in loaded],
-                               [l[3] for l in loaded]))
-            out_q.put(None)
-        except BaseException as e:  # noqa: BLE001
-            out_q.put(e)
+    def produce():
+        for bucket, items in buckets.items():
+            for chunk, n_real, loaded in window_batches(
+                    items, lambda p, b=bucket: load_one(p, b),
+                    batch_size, batch_size + max(1, num_workers),
+                    num_workers=num_workers):
+                arr = np.stack([l[0] for l in loaded])
+                valid = np.array([l[1] for l in loaded], dtype=np.int32)
+                yield (bucket, chunk, n_real, arr, valid,
+                       [l[2] for l in loaded], [l[3] for l in loaded])
 
-    q: "_queue.Queue" = _queue.Queue(maxsize=2)
-    threading.Thread(target=produce, args=(q,), daemon=True).start()
-
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
+    for item in iterate_prefetched(produce, maxsize=2):
         bucket, chunk, n_real, arr, valid, headers, ext_headers = item
         out = fn_for(bucket)(jnp.asarray(arr), jnp.asarray(valid))
         normed = np.asarray(out[0])
@@ -222,13 +209,22 @@ def normalize_images_batched(
             base = os.path.join(dest, name)
             vh, vw = valid[i]
             img = normed[i, :vh, :vw]
+            # degeneracy signals: affine carries the true std as stats[2],
+            # GMM signals via logp=-inf (ops/gmm._guard_degenerate)
+            if (affine and float(stats[2][i]) == 0) or \
+                    (not affine and np.isneginf(stats[3][i])):
+                import warnings
+
+                warnings.warn(
+                    f"{path}: constant image (std=0) — normalized output "
+                    f"is all zeros (the reference NaNs such frames)")
             for f in formats:
                 save_image(img, base, f=f, header=headers[i],
                            extended_header=ext_headers[i])
             if metadata:
                 if affine:
                     md = {"mu": float(stats[0][i]),
-                          "std": float(stats[1][i]), "pi": 1}
+                          "std": float(stats[2][i]), "pi": 1}
                 else:
                     mu, std, pi, logp, mus, stds, pis, logps = \
                         (s[i] for s in stats)

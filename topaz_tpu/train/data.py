@@ -73,7 +73,16 @@ def find_image_paths(images_path: str, image_ext: str = "") -> pd.DataFrame:
         paths = sorted(glob.glob(pattern))
         names = [os.path.splitext(os.path.basename(p))[0] for p in paths]
         return pd.DataFrame({"image_name": names, "path": paths})
-    return pd.read_csv(images_path, sep=r"\s+")
+    # documented divergence: the reference whitespace-splits list files
+    # (topaz/training.py:69-91 via pandas sep='\s+'), so paths containing
+    # spaces silently break. List files are TSV by provenance (our
+    # train_test_split and the reference's both write sep='\t'), so try the
+    # tab read first — space-containing paths survive — and fall back to
+    # whitespace splitting for hand-written bare lists.
+    df = pd.read_csv(images_path, sep="\t")
+    if "path" not in df.columns:
+        df = pd.read_csv(images_path, sep=r"\s+")
+    return df
 
 
 class CropSampler:

@@ -15,6 +15,53 @@ from __future__ import annotations
 
 from typing import Callable, Iterable, Iterator, List, Sequence, Tuple
 
+_SENTINEL = object()
+
+
+class _ProducerError:
+    """Wraps an exception raised in the producer thread so it can cross the
+    queue unambiguously (a raw exception instance could be a legal item)."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def iterate_prefetched(gen, maxsize: int = 2) -> Iterator:
+    """Drain ``gen`` in a background daemon thread through a bounded queue.
+
+    This is the single home of the producer-thread queue/sentinel protocol
+    shared by the batched pipelines (pipeline.MicrographPipeline.process and
+    preprocess.normalize_images_batched): items are yielded in order, an
+    exception raised in the producer re-raises in the consumer instead of
+    hanging it, and the end-of-stream sentinel cannot collide with a real
+    item. ``maxsize`` bounds host-RAM buffering (0 would mean unbounded in
+    queue.Queue, so it is clamped to at least one slot).
+
+    ``gen`` may be an iterable or a zero-arg callable returning one (the
+    callable form defers any pre-iteration work into the producer thread).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, maxsize))
+
+    def run():
+        try:
+            for item in (gen() if callable(gen) else gen):
+                q.put(item)
+            q.put(_SENTINEL)
+        except BaseException as e:  # noqa: BLE001 - propagated to consumer
+            q.put(_ProducerError(e))
+
+    threading.Thread(target=run, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        if isinstance(item, _ProducerError):
+            raise item.exc
+        yield item
+
 
 def round_bucket(shape: Sequence[int], step: int) -> Tuple[int, ...]:
     """Round every extent of ``shape`` up to the next multiple of ``step``."""

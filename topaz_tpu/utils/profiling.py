@@ -36,6 +36,36 @@ def stage(name: str) -> Iterator[None]:
         print(f"# [timing] {name}: {dt * 1e3:.1f} ms", file=sys.stderr)
 
 
+def timing_enabled() -> bool:
+    """True when per-stage numbers are being reported or traced."""
+    return bool(os.environ.get("TOPAZ_TIMINGS")
+                or os.environ.get("TOPAZ_PROFILE"))
+
+
+def sync_for_timing(outputs) -> None:
+    """Deliberate block_until_ready policy for stage timing.
+
+    JAX dispatch is asynchronous, so a ``stage()`` block that only launches
+    a jitted call measures Python dispatch, not device compute. Call this
+    on the outputs INSIDE the stage block: it is a no-op in normal runs
+    (keeping the async overlap that the pipelines rely on for throughput)
+    and blocks until the device work is done when TOPAZ_TIMINGS or
+    TOPAZ_PROFILE is set. A tiny element fetch follows block_until_ready
+    because over tunneled transports block_until_ready can return before
+    results are fetchable (see ROADMAP environment notes).
+    """
+    if not timing_enabled():
+        return
+    import jax
+    import numpy as np
+
+    jax.block_until_ready(outputs)
+    leaves = jax.tree_util.tree_leaves(outputs)
+    if leaves:
+        a = leaves[0]
+        np.asarray(a[(0,) * getattr(a, "ndim", 0)])
+
+
 @contextlib.contextmanager
 def profile_session() -> Iterator[None]:
     """Wrap a whole run in a jax profiler trace when TOPAZ_PROFILE is set."""
