@@ -223,7 +223,8 @@ def run_reference(tmp, seed, train_dir, t_train, test_dir):
     from topaz.utils.data.loader import load_image as ref_load
 
     for p in sorted(glob.glob(os.path.join(test_dir, "*.mrc"))):
-        img = np.array(ref_load(p), copy=False).astype(np.float32)
+        img = np.asarray(ref_load(p, make_image=False, return_header=False),
+                         dtype=np.float32)
         with torch.no_grad():
             score = model(torch.from_numpy(img)[None, None]).numpy()[0, 0]
         s, c = ref_nms(score, RADIUS_DS, threshold=-6.0)
@@ -235,10 +236,15 @@ def run_reference(tmp, seed, train_dir, t_train, test_dir):
 
 
 def main():
+    global EPOCHS
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--epochs", type=int, default=EPOCHS,
+                    help="training epochs (smaller = below saturation, "
+                         "more discriminative)")
     ap.add_argument("--skip-reference", action="store_true")
     opts = ap.parse_args()
+    EPOCHS = opts.epochs
 
     results = {"ours": [], "reference": [], "fixture": "CTF-modulated "
                "(see tests/test_fullchain_oracle.make_ctf_micrograph)",
