@@ -305,3 +305,69 @@ def test_3d_dense_crop_scoring_parity(rng):
         np.testing.assert_allclose(
             float(np.asarray(s).reshape(-1)[0]), dense[z, y, x],
             rtol=1e-5, atol=1e-6)
+
+
+def test_sav_export_roundtrip_torchfree(tmp_path, rng, monkeypatch):
+    """Reverse interop: our picker checkpoints export as torch zip-format
+    state-dict .sav WITHOUT torch (models/convert.write_sav), the export
+    round-trips through our own torch-free reader, and when torch is
+    present torch.load + the reference model read it with exact values
+    and forward parity."""
+    import sys
+
+    from topaz_tpu.models.convert import (_state_dict_of, export_picker_sav,
+                                          load_sav, picker_state_dict)
+
+    spec, params, state = new_picker("resnet8", units=4, seed=3)
+    ckpt = str(tmp_path / "fresh.npz")
+    save_picker(ckpt, spec, params, state)
+    expected = picker_state_dict(spec, params, state)
+
+    # export with torch blocked
+    sav = str(tmp_path / "export.sav")
+    for mod in [m for m in sys.modules if m == "torch"
+                or m.startswith("torch.")]:
+        monkeypatch.setitem(sys.modules, mod, None)
+    monkeypatch.setitem(sys.modules, "torch", None)
+    export_picker_sav(sav, ckpt)
+    back = _state_dict_of(load_sav(sav))
+    assert set(back) == set(expected)
+    for k in expected:
+        np.testing.assert_array_equal(np.asarray(back[k]),
+                                      np.asarray(expected[k]))
+    monkeypatch.undo()
+
+    # real torch reads the torch-free-written archive byte-exactly
+    import torch
+
+    sd = torch.load(sav, map_location="cpu", weights_only=True)
+    assert set(sd) == set(expected)
+    for k in expected:
+        np.testing.assert_array_equal(sd[k].numpy(), np.asarray(expected[k]))
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_sav_export_loads_into_reference_model(tmp_path, rng):
+    """An exported pretrained picker .sav loads into the reference torch
+    LinearClassifier via load_state_dict with forward parity."""
+    import torch
+
+    from topaz_tpu.models.convert import export_picker_sav
+
+    sav = str(tmp_path / "resnet8_u32.sav")
+    export_picker_sav(sav, "resnet8_u32")
+
+    ref_factory = ref_module("topaz.model.factory")
+    model = ref_factory.load_model("resnet8_u32")
+    sd = torch.load(sav, map_location="cpu", weights_only=True)
+    model.load_state_dict(sd)
+    model.eval()
+
+    spec, params, state = load_picker("resnet8_u32")
+    x = rng.normal(size=(2, spec.width, spec.width)).astype(np.float32)
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(x)[:, None]).numpy().ravel()
+    ours, _ = apply_picker(spec, params, x, state=state, dense=False,
+                           precision="highest")
+    np.testing.assert_allclose(np.asarray(ours).ravel(), theirs,
+                               rtol=1e-4, atol=1e-4)

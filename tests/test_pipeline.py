@@ -370,3 +370,53 @@ def test_pipeline_guards_and_prefetch_zero(tmp_path, rng):
     with pytest.raises(ValueError, match="3D denoiser"):
         MicrographPipeline(model="resnet8_u32", denoise_model=d3, scale=1,
                            radius=4, threshold=0.0)
+
+
+def test_skip_errors_continues_past_bad_files(tmp_path, rng):
+    """skip_errors=True: unreadable/corrupt files warn and are skipped,
+    good batchmates still produce identical picks; default stays
+    fail-fast (reference-faithful)."""
+    import warnings as _warnings
+
+    import pytest
+
+    from topaz_tpu.io import mrc
+    from topaz_tpu.pipeline import MicrographPipeline
+
+    good1 = tmp_path / "good1.mrc"
+    _write_micrograph(good1, rng, (96, 96), [(30, 30)])
+    good2 = tmp_path / "good2.mrc"
+    _write_micrograph(good2, rng, (96, 96), [(60, 60)])
+    truncated = tmp_path / "trunc.mrc"
+    truncated.write_bytes(good1.read_bytes()[:700])  # mid-header cut
+    garbage = tmp_path / "garbage.mrc"
+    _write_micrograph(garbage, rng, (96, 96), [(48, 48)])
+    data = bytearray(garbage.read_bytes())
+    data[0:8] = (2**31 - 1).to_bytes(4, "little") * 2  # absurd nx/ny
+    garbage.write_bytes(bytes(data))
+
+    kw = dict(model="resnet8_u32", scale=1, radius=6, threshold=1.0,
+              max_peaks=32, bucket_step=64)
+    paths = [str(good1), str(truncated), str(good2), str(garbage)]
+
+    # default: fail-fast
+    with pytest.raises(Exception):
+        list(MicrographPipeline(**kw).process(paths, batch_size=2))
+
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        results = {p: (s, c) for p, s, c in
+                   MicrographPipeline(skip_errors=True, **kw).process(
+                       paths, batch_size=2)}
+    assert set(results) == {str(good1), str(good2)}
+    skipped = [str(w.message) for w in rec if "skipped" in str(w.message)]
+    assert any("trunc.mrc" in m for m in skipped)
+    assert any("garbage.mrc" in m for m in skipped)
+
+    solo = {p: (s, c) for p, s, c in
+            MicrographPipeline(**kw).process([str(good1), str(good2)],
+                                             batch_size=2)}
+    for p in solo:
+        np.testing.assert_array_equal(results[p][1], solo[p][1])
+        np.testing.assert_allclose(results[p][0], solo[p][0],
+                                   rtol=1e-4, atol=1e-5)

@@ -49,3 +49,99 @@ def test_resume_from_checkpoint(tmp_path, rng, capsys):
     w2 = params2["features"]["0"]["conv_w"]
     assert w1.shape == w2.shape
     assert not np.allclose(w1, w2)
+
+
+def _leaves(state):
+    import jax
+
+    return jax.tree_util.tree_leaves(state)
+
+
+def test_full_state_resume_bit_exact(tmp_path, rng):
+    """--resume restores the FULL training state (optimizer, method state,
+    jax rng, sampler stream): 1 epoch + resume for epoch 2 reproduces an
+    uninterrupted 2-epoch run bit-exactly (extension; the reference's
+    resume is weights-only, topaz/training.py:301-304)."""
+    from test_training import _make_synthetic_dataset
+    from topaz_tpu.training import train_from_args
+
+    img_dir, targets_path = _make_synthetic_dataset(tmp_path, rng)
+
+    # uninterrupted 2-epoch run
+    _, s_straight = train_from_args(
+        _args(tmp_path, img_dir, targets_path, num_epochs=2, epoch_size=3,
+              save_prefix=str(tmp_path / "a" / "m")))
+
+    # 1 epoch, then resume for the second
+    _, s1 = train_from_args(
+        _args(tmp_path, img_dir, targets_path, num_epochs=1, epoch_size=3,
+              save_prefix=str(tmp_path / "b" / "m")))
+    state_file = str(tmp_path / "b" / "m_train_state.npz")
+    assert os.path.exists(state_file)
+    _, s_resumed = train_from_args(
+        _args(tmp_path, img_dir, targets_path, num_epochs=2, epoch_size=3,
+              save_prefix=str(tmp_path / "b" / "m"), resume=state_file))
+
+    for a, b in zip(_leaves(s_straight), _leaves(s_resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mid_epoch_resume_after_crash(tmp_path, rng, monkeypatch):
+    """--save-interval-steps checkpoints mid-epoch; after a simulated crash
+    the resumed run consumes the exact remaining batches and matches an
+    uninterrupted run bit-exactly."""
+    import pytest
+
+    import topaz_tpu.training as training_mod
+    from test_training import _make_synthetic_dataset
+    from topaz_tpu.training import train_from_args
+
+    img_dir, targets_path = _make_synthetic_dataset(tmp_path, rng)
+
+    # uninterrupted single epoch of 4 steps
+    _, s_straight = train_from_args(
+        _args(tmp_path, img_dir, targets_path, num_epochs=1, epoch_size=4,
+              save_prefix=str(tmp_path / "c" / "m")))
+
+    # crashing run: the sampler dies on its 3rd batch; a step-2 state file
+    # survives (save_interval_steps=2)
+    real_sampler = training_mod.CropSampler
+
+    class CrashingSampler(real_sampler):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self._calls = 0
+
+        def sample_batch(self, *a, **k):
+            self._calls += 1
+            if self._calls > 2:
+                raise RuntimeError("simulated crash")
+            return super().sample_batch(*a, **k)
+
+    monkeypatch.setattr(training_mod, "CropSampler", CrashingSampler)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        train_from_args(
+            _args(tmp_path, img_dir, targets_path, num_epochs=1,
+                  epoch_size=4, save_interval_steps=2,
+                  save_prefix=str(tmp_path / "d" / "m")))
+    monkeypatch.setattr(training_mod, "CropSampler", real_sampler)
+
+    state_file = str(tmp_path / "d" / "m_train_state.npz")
+    assert os.path.exists(state_file)
+    _, s_resumed = train_from_args(
+        _args(tmp_path, img_dir, targets_path, num_epochs=1, epoch_size=4,
+              save_prefix=str(tmp_path / "d" / "m"), resume=state_file))
+
+    for a, b in zip(_leaves(s_straight), _leaves(s_resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_cli_resume_flags_parse():
+    from topaz_tpu.cli.commands import train as train_cmd
+
+    p = train_cmd.add_arguments()
+    a = p.parse_args(["--train-images", "x", "--train-targets", "y",
+                      "--resume", "m_train_state.npz",
+                      "--save-interval-steps", "50"])
+    assert a.resume == "m_train_state.npz"
+    assert a.save_interval_steps == 50

@@ -32,6 +32,7 @@ def add_arguments(parser=None):
     parser.add_argument("--format", choices=["coord", "csv", "star", "json", "box"], default="coord", help="file format of the OUTPUT files (default: coord)")
     parser.add_argument("--dims", type=int, default=2, choices=[2, 3], help="image dimensionality (default: 2/micrographs), set to 3 for tomograms")
     parser.add_argument("-v", "--verbose", action="store_true", help="report as each image is scored and picks are extracted")
+    parser.add_argument("--skip-errors", action="store_true", help="warn and continue past unreadable/corrupt micrographs in the batched path instead of aborting the run (extension; default aborts on the first bad file like the reference)")
     return parser
 
 
@@ -47,5 +48,5 @@ def main(args):
         output=args.output, per_micrograph=args.per_micrograph,
         suffix=args.suffix, out_format=args.format, up_scale=args.up_scale,
         down_scale=args.down_scale, dims=args.dims, verbose=args.verbose,
-        device=args.device,
+        device=args.device, skip_errors=args.skip_errors,
     )

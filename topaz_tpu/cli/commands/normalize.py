@@ -26,6 +26,7 @@ def add_arguments(parser=None):
     parser.add_argument("-o", "--destdir", help="output directory")
     parser.add_argument("--format", dest="format_", default="mrc", help="image format(s) to write, comma separated: mrc, tiff, png (default: mrc)")
     parser.add_argument("-v", "--verbose", action="store_true", help="verbose output")
+    parser.add_argument("--skip-errors", action="store_true", help="warn and continue past unreadable/corrupt micrographs in the batched path instead of aborting the run (extension; default aborts on the first bad file like the reference)")
     from topaz_tpu.cli.fast import add_fast_flag
 
     add_fast_flag(parser)
@@ -67,7 +68,7 @@ def main(args):
             metadata=args.metadata, formats=formats, bins=args.bins,
             verbose=args.verbose,
             batch_size=args.batch_size if args.batch_size > 1 else 0,
-            mesh=mesh,
+            mesh=mesh, skip_errors=args.skip_errors,
         )
         return
     normalize_images(

@@ -68,6 +68,8 @@ def add_arguments(parser=None):
 
     outputs = parser.add_argument_group("output file arguments (optional)")
     outputs.add_argument("--save-prefix", help="path prefix to save trained models each epoch")
+    outputs.add_argument("--resume", help="path to a <save-prefix>_train_state.npz checkpoint: restore the FULL training state (optimizer, method state, rng, sampler stream) and continue bit-exactly — unlike passing an epoch .sav/.npz to --model, which restarts the optimizer cold (extension; the reference resume is weights-only)")
+    outputs.add_argument("--save-interval-steps", type=int, default=0, help="also checkpoint the full training state every N steps within an epoch (0 = per-epoch only); mid-epoch resume continues on the exact next batch (default: 0)")
     outputs.add_argument("-o", "--output", help="destination to write the train/test curve")
 
     misc = parser.add_argument_group("miscellaneous arguments (optional)")

@@ -184,6 +184,7 @@ def extract_particles(
     verbose: bool = False,
     precision=None,
     device: int = 0,
+    skip_errors: bool = False,
 ) -> None:
     """Orchestrate scoring + NMS + output (topaz/extract.py:266-367).
     ``device=-2`` spreads batched scoring over all devices via the mesh."""
@@ -218,7 +219,7 @@ def extract_particles(
         return _extract_batched(
             paths, model, threshold, radius, batch_size, output,
             per_micrograph, suffix, out_format, up_scale, down_scale,
-            verbose, precision, devices,
+            verbose, precision, devices, skip_errors=skip_errors,
         )
     if devices is not None and len(devices) > 1:
         print("# WARNING: -d -2 multi-device scoring needs the batched "
@@ -307,7 +308,8 @@ def extract_particles(
 
 def _extract_batched(paths, model, threshold, radius, batch_size, output,
                      per_micrograph, suffix, out_format, up_scale,
-                     down_scale, verbose, precision, devices=None):
+                     down_scale, verbose, precision, devices=None,
+                     skip_errors=False):
     """Batched extraction through the device pipeline (pipeline.py),
     sharded over the mesh's data axis when multiple devices are given."""
     from topaz_tpu.io import coordinates as file_utils
@@ -319,7 +321,8 @@ def _extract_batched(paths, model, threshold, radius, batch_size, output,
         report(f"Batched scoring sharded over {mesh.shape['data']} devices")
     pipe = MicrographPipeline(model=model, scale=1, radius=radius,
                               threshold=threshold, normalize=False,
-                              mesh=mesh, precision=precision)
+                              mesh=mesh, precision=precision,
+                              skip_errors=skip_errors)
     scale = up_scale / down_scale
 
     f = None

@@ -12,6 +12,7 @@ HWIO (DHWIO) channels-last for TPU-friendly convolutions.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, Optional, Tuple
 
@@ -521,3 +522,184 @@ def convert_picker_sav(path: str) -> Tuple[Dict, Dict, Dict]:
     meta["dims"] = 2
     params, state = picker_params_from_state_dict(sd)
     return meta, params, state
+
+
+# -- torch-free .sav WRITER (reverse interop) --------------------------------
+#
+# Export our checkpoints as torch-zip-format state-dict .sav files that
+# `torch.load` (and therefore the reference CLI's --model flag,
+# topaz/model/factory.py:54-56) reads directly — written with zipfile +
+# pickle only, no torch import. The pickle references
+# torch._utils._rebuild_tensor_v2 and torch.FloatStorage as globals; when
+# torch is importable the real objects are used, otherwise inert stand-ins
+# are registered under a synthetic 'torch' module for the duration of the
+# pickling (the pickle bytes are identical either way).
+
+
+class _StorageOut:
+    """Marker whose persistent id becomes the ('storage', ...) pid."""
+
+    def __init__(self, storage_cls, key: str, numel: int):
+        self.storage_cls = storage_cls
+        self.key = key
+        self.numel = numel
+
+
+class _TensorOut:
+    """Pickles as torch._utils._rebuild_tensor_v2(storage, 0, size,
+    stride, False, OrderedDict())."""
+
+    def __init__(self, rebuild, storage: _StorageOut, shape, stride):
+        self._rebuild = rebuild
+        self._storage = storage
+        self._shape = tuple(int(s) for s in shape)
+        self._stride = tuple(int(s) for s in stride)
+
+    def __reduce__(self):
+        from collections import OrderedDict
+
+        return (self._rebuild, (self._storage, 0, self._shape,
+                                self._stride, False, OrderedDict()))
+
+
+def _sav_write_globals():
+    """(rebuild_fn, float_storage_cls) with the import paths torch.load
+    expects; real torch objects when available, stand-ins otherwise."""
+    try:
+        import torch
+
+        return torch._utils._rebuild_tensor_v2, torch.FloatStorage, None
+    except ImportError:
+        import sys
+        import types
+
+        torch_mod = types.ModuleType("torch")
+        utils_mod = types.ModuleType("torch._utils")
+
+        def _rebuild_tensor_v2(*args):  # never called; pickled by name
+            raise RuntimeError("write-side stub")
+
+        _rebuild_tensor_v2.__module__ = "torch._utils"
+        _rebuild_tensor_v2.__qualname__ = "_rebuild_tensor_v2"
+
+        class FloatStorage:  # noqa: N801 - torch class name
+            pass
+
+        FloatStorage.__module__ = "torch"
+        FloatStorage.__qualname__ = "FloatStorage"
+        utils_mod._rebuild_tensor_v2 = _rebuild_tensor_v2
+        torch_mod._utils = utils_mod
+        torch_mod.FloatStorage = FloatStorage
+        inserted = []
+        for name, mod in (("torch", torch_mod), ("torch._utils", utils_mod)):
+            # a None entry means imports are blocked — same as absent here
+            if sys.modules.get(name) is None:
+                sys.modules[name] = mod
+                inserted.append(name)
+        return _rebuild_tensor_v2, FloatStorage, inserted
+
+
+def write_sav(path: str, state_dict: Dict[str, np.ndarray]) -> None:
+    """Write ``state_dict`` (name -> float array) as a torch zip-format
+    ``.sav`` readable by ``torch.load`` — without importing torch."""
+    import io
+    import pickle
+    import sys
+    import zipfile
+    from collections import OrderedDict
+
+    rebuild, storage_cls, inserted = _sav_write_globals()
+    try:
+        out = OrderedDict()
+        storages = []
+        for i, (name, arr) in enumerate(state_dict.items()):
+            arr = np.ascontiguousarray(np.asarray(arr, dtype=np.float32))
+            # C-contiguous strides in ELEMENTS (torch convention)
+            stride = []
+            acc = 1
+            for s in reversed(arr.shape):
+                stride.insert(0, acc)
+                acc *= int(s)
+            storage = _StorageOut(storage_cls, str(i), arr.size)
+            storages.append((storage, arr))
+            out[name] = _TensorOut(rebuild, storage, arr.shape, stride)
+
+        buf = io.BytesIO()
+        p = pickle.Pickler(buf, protocol=2)
+
+        def persistent_id(obj):
+            if isinstance(obj, _StorageOut):
+                return ("storage", obj.storage_cls, obj.key, "cpu",
+                        obj.numel)
+            return None
+
+        p.persistent_id = persistent_id
+        p.dump(out)
+
+        base = os.path.splitext(os.path.basename(path))[0]
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+            zf.writestr(f"{base}/data.pkl", buf.getvalue())
+            for storage, arr in storages:
+                zf.writestr(f"{base}/data/{storage.key}", arr.tobytes())
+            zf.writestr(f"{base}/version", "3\n")
+    finally:
+        for name in inserted or []:
+            sys.modules.pop(name, None)
+
+
+def _from_hwio(w: np.ndarray) -> np.ndarray:
+    """<spatial>IO -> OI<spatial> (inverse of _to_hwio)."""
+    nd = w.ndim
+    perm = (nd - 1, nd - 2) + tuple(range(nd - 2))
+    return np.ascontiguousarray(np.transpose(np.asarray(w), perm))
+
+
+def picker_state_dict(spec, params: Dict, state: Dict) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`picker_params_from_state_dict`: our picker trees
+    -> the reference LinearClassifier state-dict key layout
+    (topaz/model/classifier.py + features/resnet.py)."""
+    sd: Dict[str, np.ndarray] = {}
+    feat_params = params.get("features", {})
+    feat_state = (state or {}).get("features", {})
+    for idx, lp in feat_params.items():
+        pre = f"features.features.{idx}."
+        ls = feat_state.get(idx, {})
+        for ours, theirs, is_conv in (
+                ("conv_w", "conv.weight", True),
+                ("conv_b", "conv.bias", False),
+                ("conv0_w", "conv0.weight", True),
+                ("conv0_b", "conv0.bias", False),
+                ("conv1_w", "conv1.weight", True),
+                ("conv1_b", "conv1.bias", False),
+                ("proj_w", "proj.weight", True)):
+            if ours in lp:
+                v = lp[ours]
+                sd[pre + theirs] = _from_hwio(v) if is_conv else np.asarray(v)
+        if "prelu" in lp:
+            sd[pre + "act.weight"] = np.asarray(lp["prelu"]).reshape(1)
+        for sub, d in lp.items():
+            if isinstance(d, dict) and sub.startswith("bn"):
+                if "scale" in d:
+                    sd[pre + sub + ".weight"] = np.asarray(d["scale"])
+                if "bias" in d:
+                    sd[pre + sub + ".bias"] = np.asarray(d["bias"])
+        for sub, d in ls.items():
+            if isinstance(d, dict) and sub.startswith("bn"):
+                if "mean" in d:
+                    sd[pre + sub + ".running_mean"] = np.asarray(d["mean"])
+                if "var" in d:
+                    sd[pre + sub + ".running_var"] = np.asarray(d["var"])
+                sd[pre + sub + ".num_batches_tracked"] = np.zeros((), np.int64)
+    if "classifier" in params:
+        sd["classifier.weight"] = _from_hwio(params["classifier"]["w"])
+        sd["classifier.bias"] = np.asarray(params["classifier"]["b"])
+    return sd
+
+
+def export_picker_sav(path: str, model: str) -> None:
+    """Export a picker (alias or .npz checkpoint) as a reference-layout
+    state-dict ``.sav`` that ``topaz --model`` / ``torch.load`` reads."""
+    from topaz_tpu.models.factory import load_picker
+
+    spec, params, state = load_picker(model)
+    write_sav(path, picker_state_dict(spec, params, state))

@@ -54,6 +54,7 @@ class MicrographPipeline:
         num_workers: int = 4,
         bins: int = 0,
         dtype=None,
+        skip_errors: bool = False,
     ):
         from topaz_tpu.models.factory import load_picker
 
@@ -74,6 +75,11 @@ class MicrographPipeline:
         # bins > 0: histogram-EM normalization over valid pixels (~5x
         # faster than the exact fit at 4k; value-quantized to the bin width)
         self.bins = int(bins)
+        # skip_errors: warn and continue past unreadable/corrupt files
+        # instead of aborting the whole batch run (production robustness
+        # extension; the reference crashes on the first bad file). Default
+        # off = reference-faithful fail-fast.
+        self.skip_errors = bool(skip_errors)
         self.spec, self.params, self.state = load_picker(model)
         self.denoiser = None
         # dtype='bf16': the fast profile's denoise arm (params +
@@ -296,21 +302,55 @@ class MicrographPipeline:
         buckets: Dict[Tuple[int, int], List[Tuple[str, Tuple[int, int]]]] = \
             defaultdict(list)
         for p in paths:
-            raw_shape = _image_shape(p)
+            try:
+                raw_shape = _image_shape(p)
+            except Exception:
+                if not self.skip_errors:
+                    raise
+                warnings.warn(f"{p}: unreadable header — skipped "
+                              f"(--skip-errors)")
+                continue
             buckets[self._bucket_for(self._ds_shape(raw_shape))].append(
                 (p, raw_shape))
 
         # background loader keeps the device fed; the queue/sentinel
         # protocol lives in utils.batching.iterate_prefetched
+        class _LoadFailure:
+            def __init__(self, exc):
+                self.exc = exc
+
+        def load_one(it, bucket):
+            if not self.skip_errors:
+                return self._load_one(it[0], bucket)
+            try:
+                return self._load_one(it[0], bucket)
+            except Exception as e:  # noqa: BLE001 - skipped with warning
+                return _LoadFailure(e)
+
         def load_batches():
             from topaz_tpu.utils.batching import window_batches
 
             for bucket, items in buckets.items():
                 for chunk, n_real, loaded in window_batches(
                         items,
-                        lambda it, b=bucket: self._load_one(it[0], b),
+                        lambda it, b=bucket: load_one(it, b),
                         batch_size, batch_size * (prefetch + 1),
                         num_workers=self.num_workers):
+                    bad = [(c, l) for c, l in zip(chunk, loaded)
+                           if isinstance(l, _LoadFailure)]
+                    for (path, _), failure in bad:
+                        warnings.warn(f"{path}: {failure.exc} — skipped "
+                                      f"(--skip-errors)")
+                    if bad:
+                        kept = [(c, l) for c, l in zip(chunk, loaded)
+                                if not isinstance(l, _LoadFailure)]
+                        if not kept:
+                            continue
+                        chunk = [c for c, _ in kept]
+                        n_real = len(chunk)
+                        loaded = [l for _, l in kept]
+                        loaded = loaded + [loaded[-1]] * (batch_size
+                                                          - len(loaded))
                     valid = np.array(
                         [self._ds_shape(rs) for _, rs in chunk]
                         + [self._ds_shape(chunk[-1][1])]

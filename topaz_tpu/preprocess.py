@@ -103,6 +103,7 @@ def normalize_images_batched(
     batch_size: int = 0,
     mesh=None,
     bucket_step: int = 64,
+    skip_errors: bool = False,
 ) -> None:
     """Batched/mesh-sharded normalization: micrographs are grouped into
     rounded shape buckets (zero-padded + masked, like pipeline.py), B
@@ -136,9 +137,21 @@ def normalize_images_batched(
             return (int(shape[0] / scale), int(shape[1] / scale))
         return tuple(shape)
 
+    import warnings
+
     buckets = defaultdict(list)
     for p in paths:
-        buckets[round_bucket(ds_shape(_image_shape(p)), bucket_step)].append(p)
+        try:
+            shape = _image_shape(p)
+        except Exception:
+            # skip_errors: continue past unreadable files with a warning
+            # (extension; default fail-fast like the reference)
+            if not skip_errors:
+                raise
+            warnings.warn(f"{p}: unreadable header — skipped "
+                          f"(--skip-errors)")
+            continue
+        buckets[round_bucket(ds_shape(shape), bucket_step)].append(p)
 
     fns = {}
 
@@ -188,12 +201,39 @@ def normalize_images_batched(
         out[: x.shape[0], : x.shape[1]] = x
         return out, x.shape, header, ext_header
 
+    class _LoadFailure:
+        def __init__(self, exc):
+            self.exc = exc
+
+    def load_one_safe(p, bucket):
+        if not skip_errors:
+            return load_one(p, bucket)
+        try:
+            return load_one(p, bucket)
+        except Exception as e:  # noqa: BLE001 - skipped with warning
+            return _LoadFailure(e)
+
     def produce():
         for bucket, items in buckets.items():
             for chunk, n_real, loaded in window_batches(
-                    items, lambda p, b=bucket: load_one(p, b),
+                    items, lambda p, b=bucket: load_one_safe(p, b),
                     batch_size, batch_size + max(1, num_workers),
                     num_workers=num_workers):
+                bad = [(c, l) for c, l in zip(chunk, loaded)
+                       if isinstance(l, _LoadFailure)]
+                for path, failure in bad:
+                    warnings.warn(f"{path}: {failure.exc} — skipped "
+                                  f"(--skip-errors)")
+                if bad:
+                    kept = [(c, l) for c, l in zip(chunk, loaded)
+                            if not isinstance(l, _LoadFailure)]
+                    if not kept:
+                        continue
+                    chunk = [c for c, _ in kept]
+                    n_real = len(chunk)
+                    loaded = [l for _, l in kept]
+                    loaded = loaded + [loaded[-1]] * (batch_size
+                                                      - len(loaded))
                 arr = np.stack([l[0] for l in loaded])
                 valid = np.array([l[1] for l in loaded], dtype=np.int32)
                 yield (bucket, chunk, n_real, arr, valid,

@@ -333,14 +333,39 @@ def train_model(args, output=None):
     # epoch loop with the reference's TSV contract (training.py:571-603).
     # Host sampling runs in a prefetch thread and metric rows print a few
     # steps behind dispatch, so the device never idles on the host.
-    import queue
-    import threading
+    import copy
 
     import jax.numpy as jnp
 
+    from topaz_tpu.train.trainer import load_train_state, save_train_state
+    from topaz_tpu.utils.batching import iterate_prefetched
+
+    # --resume: restore the FULL training state (optimizer/method/rng +
+    # host sampler stream) and continue bit-exactly, mid-epoch included.
+    # Extension over the reference, whose resume is weights-only
+    # (topaz/training.py:301-304).
+    start_epoch, start_step, it = 1, 0, 1
+    resume_path = getattr(args, "resume", None)
+    if resume_path:
+        state, rmeta = load_train_state(resume_path, state)
+        it = rmeta["iter"]
+        start_epoch = rmeta["epoch"]
+        start_step = rmeta["steps_in_epoch"]
+        if start_step >= args.epoch_size or start_step == 0:
+            start_epoch += 1
+            start_step = 0
+        if rmeta.get("sampler_rng"):
+            sampler.rng.bit_generator.state = rmeta["sampler_rng"]
+        report(f"Resuming at epoch {start_epoch}"
+               + (f" step {start_step + 1}" if start_step else "")
+               + f" (iter {it})")
+
+    save_steps = int(getattr(args, "save_interval_steps", 0) or 0)
+    state_path = (args.save_prefix + "_train_state.npz"
+                  if args.save_prefix is not None else None)
+
     print("\t".join(["epoch", "iter", "split"] + header + ["auprc"]),
           file=output, flush=True)
-    it = 1
     prec_idx = header.index("precision")
     plain_cols = [h for h in header if h != "adjusted_precision"]
 
@@ -352,18 +377,25 @@ def train_model(args, output=None):
         print(f"{epoch}\t{it}\ttrain\t" + "\t".join(str(v) for v in row)
               + "\t-", file=output, flush=True)
 
-    for epoch in range(1, args.num_epochs + 1):
-        q: "queue.Queue" = queue.Queue(maxsize=4)
+    def _save_state(epoch, steps_in_epoch, rng_state):
+        if state_path is None:
+            return
+        os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
+        save_train_state(state_path, _to_numpy(state), epoch, it,
+                         steps_in_epoch, sampler_rng_state=rng_state)
 
-        def _producer(n=args.epoch_size):
-            try:
-                for _ in range(n):
-                    q.put(sampler.sample_batch(args.minibatch_size, n_pos))
-                q.put(None)
-            except BaseException as e:  # noqa: BLE001
-                q.put(e)
+    for epoch in range(start_epoch, args.num_epochs + 1):
+        n_steps = args.epoch_size - (start_step if epoch == start_epoch else 0)
 
-        threading.Thread(target=_producer, daemon=True).start()
+        def _producer(n=n_steps):
+            # the sampler rng state is captured AFTER each draw so a
+            # mid-epoch checkpoint resumes on exactly the next batch the
+            # uninterrupted run would have drawn (prefetched-but-unconsumed
+            # batches are not skipped)
+            for _ in range(n):
+                batch = sampler.sample_batch(args.minibatch_size, n_pos)
+                yield batch, copy.deepcopy(sampler.rng.bit_generator.state)
+
         # metric rows print a few steps behind dispatch: the device runs
         # ahead of the host by up to `depth` steps, hiding the host->device
         # round-trip behind real compute (the step itself is ~3 ms on v5e)
@@ -371,16 +403,20 @@ def train_model(args, output=None):
 
         depth = int(os.environ.get("TOPAZ_METRIC_LAG", "8"))
         pending: deque = deque()
-        while (item := q.get()) is not None:
-            if isinstance(item, BaseException):
-                raise item
-            crops, _labels = item
+        step_in_epoch = start_step if epoch == start_epoch else 0
+        rng_state = None
+        for (crops, _labels), rng_state in iterate_prefetched(_producer,
+                                                              maxsize=4):
             state, metrics = step_fn(state, crops)
             pending.append((epoch, it,
                             jnp.stack([metrics[h] for h in plain_cols])))
             if len(pending) > depth:
                 _print_row(*pending.popleft())
             it += 1
+            step_in_epoch += 1
+            if save_steps and step_in_epoch % save_steps == 0 \
+                    and step_in_epoch < args.epoch_size:
+                _save_state(epoch, step_in_epoch, rng_state)
         while pending:
             _print_row(*pending.popleft())
 
@@ -400,6 +436,7 @@ def train_model(args, output=None):
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             save_picker(path, spec, _to_numpy(state.params),
                         _to_numpy(state.model_state))
+            _save_state(epoch, 0, rng_state)
 
     return spec, state
 
@@ -427,11 +464,12 @@ def train_from_args(args) -> None:
     output = sys.stdout if args.output is None else open(args.output, "w")
     report("Training...")
     try:
-        train_model(args, output=output)
+        result = train_model(args, output=output)
     finally:
         if args.output is not None:
             output.close()
     report("Done!")
+    return result
 
 
 def _apply_kfold_split(args) -> None:
