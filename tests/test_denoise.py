@@ -428,3 +428,116 @@ def test_convert_unet3_sav_detects_residual_arch(tmp_path, rng):
         params, jnp.asarray(x)[None, :, :, None], dims=2,
         precision="highest"))[0, :, :, 0]
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_denoiser_sav_export_roundtrip(tmp_path, rng):
+    """Denoiser checkpoints export as state-dict .sav (torch-free) and
+    torch.load + the reference module read them with forward parity."""
+    import sys
+
+    import torch
+
+    from reference_oracle import ref_module, reference_available
+    from topaz_tpu.models.convert import export_denoiser_sav
+    from topaz_tpu.models.denoise_factory import load_denoiser
+
+    if not reference_available():
+        import pytest
+
+        pytest.skip("reference not mounted")
+
+    sav = str(tmp_path / "fcnn.sav")
+    export_denoiser_sav(sav, "fcnn")
+    sd = torch.load(sav, map_location="cpu", weights_only=True)
+
+    ref_models = ref_module("topaz.denoising.models")
+    module = ref_models.DenoiseNet2(64, width=11)
+    module.load_state_dict(sd)
+    module.eval()
+
+    meta, params = load_denoiser("fcnn")
+    from topaz_tpu.models.denoise_factory import apply_fn_for
+    import jax.numpy as jnp
+
+    x = rng.normal(0, 1, (64, 64)).astype(np.float32)
+    with torch.no_grad():
+        theirs = module(torch.from_numpy(x)[None, None]).numpy()[0, 0]
+    ours = np.asarray(apply_fn_for(meta)(
+        params, jnp.asarray(x)[None, :, :, None], dims=2,
+        precision="highest"))[0, :, :, 0]
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_picker_whole_module_export_dropin(tmp_path, rng):
+    """--whole-module picker export produces a pickled nn.Module the
+    reference factory's user path loads directly (torch.load returning a
+    usable model, topaz/model/factory.py:54-56), with forward parity."""
+    import pytest
+    import torch
+
+    from reference_oracle import ref_module, reference_available
+    from topaz_tpu.models.convert import export_picker_sav
+    from topaz_tpu.models.factory import load_picker, new_picker, save_picker
+    from topaz_tpu.models.picker import apply_picker
+
+    if not reference_available():
+        pytest.skip("reference not mounted")
+
+    ref_factory = ref_module("topaz.model.factory")  # puts topaz on sys.path
+
+    spec, params, state = new_picker("resnet8", units=4, seed=7)
+    ckpt = str(tmp_path / "mine.npz")
+    save_picker(ckpt, spec, params, state)
+    sav = str(tmp_path / "mine_module.sav")
+    export_picker_sav(sav, ckpt, whole_module=True)
+    model = ref_factory.load_model(sav)  # the user path: whole module
+    model.eval()
+    assert model.width == spec.width
+
+    x = rng.normal(size=(2, spec.width, spec.width)).astype(np.float32)
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(x)[:, None]).numpy().ravel()
+    ours, _ = apply_picker(spec, params, x, state=state, dense=False,
+                           precision="highest")
+    np.testing.assert_allclose(np.asarray(ours).ravel(), theirs,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_denoiser_whole_module_export_dropin(tmp_path, rng):
+    """--whole-module denoiser export produces a pickled nn.Module the
+    reference denoise CLI's user path loads directly (bare torch.load,
+    topaz/denoising/models.py:608-610), with forward parity — covering a
+    freshly trained unet-small, not just pretrained aliases."""
+    import pytest
+    import torch
+
+    from reference_oracle import ref_module, reference_available
+    from topaz_tpu.models.convert import export_denoiser_sav
+    from topaz_tpu.models.denoise_factory import (apply_fn_for, new_denoiser,
+                                                  save_denoiser)
+
+    if not reference_available():
+        pytest.skip("reference not mounted")
+
+    ref_models = ref_module("topaz.denoising.models")  # puts topaz on sys.path
+
+    meta, params = new_denoiser("unet-small", nf=8, base_width=7,
+                                top_width=3, seed=3)
+    ckpt = str(tmp_path / "mine.npz")
+    save_denoiser(ckpt, meta, params)
+    sav = str(tmp_path / "mine_module.sav")
+    export_denoiser_sav(sav, ckpt, whole_module=True)
+
+    module = torch.load(sav, map_location="cpu", weights_only=False)
+    assert type(module).__name__ == "UDenoiseNetSmall"
+    module.eval()
+
+    import jax.numpy as jnp
+
+    x = rng.normal(0, 1, (64, 64)).astype(np.float32)
+    with torch.no_grad():
+        theirs = module(torch.from_numpy(x)[None, None]).numpy()[0, 0]
+    ours = np.asarray(apply_fn_for(meta)(
+        params, jnp.asarray(x)[None, :, :, None], dims=2,
+        precision="highest"))[0, :, :, 0]
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)

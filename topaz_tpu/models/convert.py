@@ -696,10 +696,145 @@ def picker_state_dict(spec, params: Dict, state: Dict) -> Dict[str, np.ndarray]:
     return sd
 
 
-def export_picker_sav(path: str, model: str) -> None:
+def export_picker_sav(path: str, model: str,
+                      whole_module: bool = False) -> None:
     """Export a picker (alias or .npz checkpoint) as a reference-layout
-    state-dict ``.sav`` that ``topaz --model`` / ``torch.load`` reads."""
+    ``.sav``.
+
+    Default (torch-free): a state-dict archive — load on the torch side
+    with ``model.load_state_dict(torch.load(path, weights_only=True))``
+    on a matching-architecture LinearClassifier.
+
+    ``whole_module=True``: a pickled nn.Module, drop-in for the reference
+    CLI's ``--model`` flag (whose user path expects a whole module,
+    topaz/model/factory.py:54-56) — requires torch AND the reference
+    ``topaz`` package importable at export time."""
     from topaz_tpu.models.factory import load_picker
 
     spec, params, state = load_picker(model)
-    write_sav(path, picker_state_dict(spec, params, state))
+    sd = picker_state_dict(spec, params, state)
+    if not whole_module:
+        write_sav(path, sd)
+        return
+
+    import torch
+    try:
+        from topaz.model.classifier import LinearClassifier
+        from topaz.model.factory import get_feature_extractor
+    except ImportError as e:
+        raise ImportError(
+            "whole-module export pickles a reference nn.Module, so the "
+            "reference 'topaz' package must be importable at export time "
+            "(pip install topaz-em, or add its checkout to PYTHONPATH); "
+            "use the default state-dict export otherwise"
+        ) from e
+
+    cfg = dict(spec.config or [])
+    # reference kwargs are plain bools/ints (resnet.py:255,281 / basic.py:15)
+    kwargs = {"units": int(cfg.get("units", 32)),
+              "dropout": float(cfg.get("dropout", 0.0)),
+              "bn": bool(cfg.get("bn", False))}
+    if cfg.get("pooling"):
+        kwargs["pooling"] = cfg["pooling"]
+    if spec.arch.startswith("conv") and cfg.get("unit_scaling"):
+        kwargs["unit_scaling"] = int(cfg["unit_scaling"])
+    feat = get_feature_extractor(spec.arch, **kwargs)
+    module = LinearClassifier(feat)
+    module.load_state_dict({
+        k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()
+    })
+    module.eval()
+    torch.save(module, path)
+
+
+def state_dict_from_params_tree(params: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of :func:`params_tree_from_state_dict`: nested tree with
+    'w'/'b'/'scale' leaves -> torch dotted state-dict names (weights back
+    to OI<spatial>)."""
+    sd: Dict[str, np.ndarray] = {}
+    for key, val in params.items():
+        name = prefix + key if prefix == "" else f"{prefix}.{key}"
+        if isinstance(val, dict):
+            sd.update(state_dict_from_params_tree(val, name))
+        elif key == "w":
+            sd[prefix + ".weight" if prefix else "weight"] = _from_hwio(val)
+        elif key == "b":
+            sd[prefix + ".bias" if prefix else "bias"] = np.asarray(val)
+        elif key == "scale":
+            sd[prefix + ".weight" if prefix else "weight"] = np.asarray(val)
+        else:
+            sd[name] = np.asarray(val)
+    return sd
+
+
+def export_denoiser_sav(path: str, model: str,
+                        whole_module: bool = False) -> None:
+    """Export a denoiser (alias, .npz checkpoint, or .sav) as a
+    reference-layout ``.sav``.
+
+    Default (torch-free): a state-dict archive readable by ``torch.load``
+    + ``load_state_dict`` on a matching-architecture module.
+
+    ``whole_module=True``: a pickled nn.Module — drop-in for the
+    reference denoise CLI's ``--model`` flag, whose user path does a bare
+    ``torch.load`` and only re-instantiates 2D modules when it gets a
+    whole module back (topaz/denoising/models.py:608-610) — requires
+    torch AND the reference ``topaz`` package importable at export
+    time."""
+    from topaz_tpu.models.denoise_factory import load_denoiser
+
+    meta, params = load_denoiser(model)
+    sd = state_dict_from_params_tree(params)
+    if not whole_module:
+        if meta.get("arch") == "unet3":
+            import warnings
+
+            warnings.warn(
+                "exporting a unet3 (noise-residual) denoiser as a "
+                "state-dict: the reference must load it as UDenoiseNet3, "
+                "which its state-dict loader cannot express — use "
+                "whole_module=True or pass the arch explicitly on the "
+                "reference side")
+        write_sav(path, sd)
+        return
+
+    import torch
+    try:
+        from topaz.denoising import models as ref_models
+    except ImportError as e:
+        raise ImportError(
+            "whole-module export pickles a reference nn.Module, so the "
+            "reference 'topaz' package must be importable at export time "
+            "(pip install topaz-em, or add its checkout to PYTHONPATH); "
+            "use the default state-dict export otherwise"
+        ) from e
+
+    arch = meta.get("arch")
+    dims = int(meta.get("dims", 2))
+    nf = int(meta.get("nf", 48))
+    bw = int(meta.get("base_width", 11))
+    tw = int(meta.get("top_width", 3))
+    if dims == 3:
+        if arch not in ("unet",):
+            raise ValueError(
+                f"no reference 3D module for denoiser arch {arch!r}")
+        module = ref_models.UDenoiseNet3D(nf=nf, base_width=bw, top_width=tw)
+    elif arch == "unet":
+        module = ref_models.UDenoiseNet(nf=nf, base_width=bw, top_width=tw)
+    elif arch == "unet-small":
+        module = ref_models.UDenoiseNetSmall(nf=nf, width=bw, top_width=tw)
+    elif arch == "unet2":
+        module = ref_models.UDenoiseNet2(nf=nf)
+    elif arch == "unet3":
+        module = ref_models.UDenoiseNet3()
+    elif arch == "fcnet":
+        module = ref_models.DenoiseNet2(nf, width=bw)
+    elif arch == "affine":
+        module = ref_models.AffineDenoise()
+    else:
+        raise ValueError(f"unknown denoiser arch {arch!r}")
+    module.load_state_dict({
+        k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()
+    })
+    module.eval()
+    torch.save(module, path)
