@@ -51,6 +51,7 @@ def add_arguments(parser=None):
     training.add_argument("--minibatch-balance", default=0.0625, type=float, help="fraction of minibatch that is positive data points (default: 0.0625)")
     training.add_argument("--epoch-size", default=1000, type=int, help="number of parameter updates per epoch (default: 1000)")
     training.add_argument("--num-epochs", default=10, type=int, help="maximum number of training epochs (default: 10)")
+    training.add_argument("--augment-3d", dest="augment3d", action="store_true", help="augment 3D (--dims 3) training crops on device: xy-plane rotation about z plus random x/y/z flips — the missing-wedge-safe group (extension: the reference never augments 3D crops)")
 
     model = parser.add_argument_group("model arguments (optional)")
     model.add_argument("--pretrained", dest="pretrained", action="store_true", help="initialize model parameters from the pretrained model with the same configuration when available (default)")

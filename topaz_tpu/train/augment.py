@@ -65,3 +65,41 @@ def augment_crops(crops: jnp.ndarray, rng: jax.Array, out_size: int,
         crops = jnp.where(hflip[:, None, None], crops[:, :, ::-1], crops)
         crops = jnp.where(vflip[:, None, None], crops[:, ::-1, :], crops)
     return crops
+
+
+@partial(jax.jit, static_argnames=("out_size", "rotate", "flip"))
+def augment_crops_3d(crops: jnp.ndarray, rng: jax.Array, out_size: int,
+                     rotate: bool = True, flip: bool = True) -> jnp.ndarray:
+    """Augment a batch of 3D crops (B, D, S, S): random xy-plane rotation
+    about the z-axis, center crop to ``out_size`` per axis, and random
+    x/y/z flips.
+
+    Extension — the reference never augments 3D picker crops (its 3D
+    sampler path, memory_mapped_data.py:52-60, gathers raw windows). The
+    group used here (in-plane rotations about z + axis flips) is the
+    missing-wedge-safe one for single-axis-tilt tomograms: rotations that
+    move the z-axis would mix the wedge-degraded resolution directions
+    into the xy-plane. Each z-slice of a crop rotates by the same angle."""
+    B, D, S = crops.shape[0], crops.shape[1], crops.shape[2]
+    k_angle, k_h, k_v, k_z = jax.random.split(rng, 4)
+
+    if rotate:
+        angles = jax.random.uniform(k_angle, (B,), minval=0.0, maxval=360.0)
+        rot_vol = jax.vmap(_rotate_nearest, in_axes=(0, None))  # over z
+        crops = jax.vmap(rot_vol)(crops, angles)
+
+    if S != out_size:
+        off = (S - out_size) // 2
+        crops = crops[:, :, off : off + out_size, off : off + out_size]
+    if D != out_size:
+        offz = (D - out_size) // 2
+        crops = crops[:, offz : offz + out_size]
+
+    if flip:
+        hflip = jax.random.bernoulli(k_h, 0.5, (B,))[:, None, None, None]
+        vflip = jax.random.bernoulli(k_v, 0.5, (B,))[:, None, None, None]
+        zflip = jax.random.bernoulli(k_z, 0.5, (B,))[:, None, None, None]
+        crops = jnp.where(hflip, crops[:, :, :, ::-1], crops)
+        crops = jnp.where(vflip, crops[:, :, ::-1, :], crops)
+        crops = jnp.where(zflip, crops[:, ::-1, :, :], crops)
+    return crops

@@ -105,6 +105,10 @@ class CropSampler:
         if size % 2 == 0:
             size += 1
         self.raw_size = size
+        # 3D rotation happens about the z-axis only (train/augment.py
+        # augment_crops_3d), so the z window never needs the sqrt(2)
+        # oversize — a cubic oversized gather would cost 41% more host IO
+        self.raw_size_z = crop_size if (rotate and dims == 3) else size
         self.augment = rotate and dims == 2
         self.split = split
         self.dims = dims
@@ -185,13 +189,14 @@ class CropSampler:
         """Zero-padded 3D windows centered at (z, y, x)
         (memory_mapped_data.py:52-60)."""
         s = self.raw_size
-        half = s // 2
-        out = np.zeros((len(img_idx), s, s, s), dtype=np.float32)
+        sz = self.raw_size_z
+        half, halfz = s // 2, sz // 2
+        out = np.zeros((len(img_idx), sz, s, s), dtype=np.float32)
         for i, (k, z, y, x) in enumerate(zip(img_idx, zs, ys, xs)):
             vol = self.images[k]._mm
             D, H, W = vol.shape
-            z0, y0, x0 = int(z) - half, int(y) - half, int(x) - half
-            rz = slice(max(0, z0), min(D, z0 + s))
+            z0, y0, x0 = int(z) - halfz, int(y) - half, int(x) - half
+            rz = slice(max(0, z0), min(D, z0 + sz))
             ry = slice(max(0, y0), min(H, y0 + s))
             rx = slice(max(0, x0), min(W, x0 + s))
             out[i, rz.start - z0 : rz.stop - z0, ry.start - y0 : ry.stop - y0,
@@ -278,7 +283,9 @@ class CropSampler:
     def sample_batch(self, batch_size: int, n_pos: int) -> Tuple[np.ndarray, np.ndarray]:
         """Return (crops, labels (B,)) — first n_pos positive. For the 2D
         augmented path crops come back rotated/flipped at the final crop
-        size; otherwise raw (B, raw_size, raw_size) windows."""
+        size; otherwise raw windows: (B, raw_size, raw_size) in 2D,
+        (B, raw_size_z, raw_size, raw_size) in 3D (z stays un-oversized
+        when augmenting — rotation is about z, train/augment.py)."""
         n_neg = batch_size - n_pos
         # positives: uniform over expanded positive pixels
         if n_pos > 0:

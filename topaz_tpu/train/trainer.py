@@ -18,7 +18,7 @@ import numpy as np
 import optax
 
 from topaz_tpu.models.picker import PickerSpec, apply_picker
-from topaz_tpu.train.augment import augment_crops
+from topaz_tpu.train.augment import augment_crops, augment_crops_3d
 from topaz_tpu.train.methods import MethodState, init_method_state
 
 
@@ -73,7 +73,11 @@ def make_train_step(
     (topaz/methods.py:11-23).
     """
     crop = spec.width
-    rotate = spec.dims == 2
+    # augmentation engages when the sampler delivered sqrt(2)-oversized
+    # windows (train/data.py raw_size); a merely parity-padded window
+    # (crop+1 for even crops, rotate=False samplers) is center-cropped
+    # without rotating — the decision is static at trace time
+    rotate_threshold = int(np.ceil(crop * np.sqrt(2)))
     # multi-host: the global batch is the concatenation of per-process
     # local batches, EACH leading with its own n_pos positives — the
     # positional P/U contract (methods.py) must see all positives first,
@@ -83,11 +87,16 @@ def make_train_step(
 
     def loss_and_metrics(params, model_state, crops, rng, method_state):
         k_aug, k_drop = jax.random.split(rng)
-        if crops.shape[1] == crop:
-            # sampler delivered final augmented crops (fused native path)
+        if crops.shape[1:] == (crop,) * spec.dims:
+            # sampler delivered final-size crops (2D fused native path, or
+            # unaugmented windows already at the receptive field)
             x = crops
+        elif spec.dims == 3:
+            aug = crops.shape[-1] >= rotate_threshold
+            x = augment_crops_3d(crops, k_aug, crop, rotate=aug, flip=aug)
         else:
-            x = augment_crops(crops, k_aug, crop, rotate=rotate, flip=rotate)
+            aug = crops.shape[-1] >= rotate_threshold
+            x = augment_crops(crops, k_aug, crop, rotate=aug, flip=aug)
         score, latent, new_model_state = apply_picker(
             spec, params, x, state=model_state, dense=False, train=True,
             dropout_rng=k_drop, precision=precision, return_latent=True,

@@ -271,7 +271,8 @@ def train_model(args, output=None):
             seed += 1000003 * jax.process_index()
     sampler = CropSampler(train_paths, train_targets, spec.width,
                           radius=args.radius, split=split,
-                          rotate=(args.dims == 2),
+                          rotate=(args.dims == 2
+                                  or getattr(args, "augment3d", False)),
                           seed=seed, dims=args.dims)
     report(f"Loaded {sampler.num_images} training micrographs with "
            f"~{int(sampler.num_pixels // sampler.mask_size)} labeled particles")
