@@ -541,3 +541,39 @@ def test_denoiser_whole_module_export_dropin(tmp_path, rng):
         params, jnp.asarray(x)[None, :, :, None], dims=2,
         precision="highest"))[0, :, :, 0]
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_conv31_whole_module_export_dropin(tmp_path, rng):
+    """conv archs export with the reference basic.py raw-Sequential slot
+    layout (conv, act, ... — not the resnet .conv nesting), so both the
+    state-dict and the whole-module .sav load on the reference side with
+    forward parity."""
+    import pytest
+    import torch
+
+    from reference_oracle import ref_module, reference_available
+    from topaz_tpu.models.convert import export_picker_sav
+    from topaz_tpu.models.factory import new_picker, save_picker
+    from topaz_tpu.models.picker import apply_picker
+
+    if not reference_available():
+        pytest.skip("reference not mounted")
+
+    ref_factory = ref_module("topaz.model.factory")  # puts topaz on sys.path
+
+    spec, params, state = new_picker("conv31", units=4, seed=11)
+    ckpt = str(tmp_path / "c31.npz")
+    save_picker(ckpt, spec, params, state)
+    sav = str(tmp_path / "c31_module.sav")
+    export_picker_sav(sav, ckpt, whole_module=True)
+    model = torch.load(sav, map_location="cpu", weights_only=False)
+    model.eval()
+    assert model.width == spec.width
+
+    x = rng.normal(size=(2, spec.width, spec.width)).astype(np.float32)
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(x)[:, None]).numpy().ravel()
+    ours, _ = apply_picker(spec, params, x, state=state, dense=False,
+                           precision="highest")
+    np.testing.assert_allclose(np.asarray(ours).ravel(), theirs,
+                               rtol=1e-4, atol=1e-5)

@@ -307,6 +307,41 @@ def test_3d_dense_crop_scoring_parity(rng):
             rtol=1e-5, atol=1e-6)
 
 
+def test_sav_reader_rejects_malicious_preamble(tmp_path, monkeypatch):
+    """A crafted non-zip .sav whose legacy preamble pickle carries a
+    GLOBAL+REDUCE payload must be refused by the restricted unpickler —
+    never executed. (The legacy preamble pickles go through the same
+    restricted unpickler as the main pickle; a plain pickle.load there
+    would run the payload before the magic check.)"""
+    import pickle
+    import sys
+
+    import pytest as _pytest
+
+    from topaz_tpu.models.convert import load_sav
+
+    marker = tmp_path / "pwned"
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, (f"touch {marker}",))
+
+    evil = tmp_path / "evil.sav"
+    evil.write_bytes(pickle.dumps(Evil()) + b"\x00" * 64)
+
+    # block torch so the trusted torch.load fallback (which mirrors the
+    # reference's weights_only=False trust model) cannot run either
+    for mod in [m for m in sys.modules if m == "torch"
+                or m.startswith("torch.")]:
+        monkeypatch.setitem(sys.modules, mod, None)
+
+    with _pytest.raises(Exception):
+        load_sav(str(evil))
+    assert not marker.exists(), "malicious .sav preamble was EXECUTED"
+
+
 def test_sav_export_roundtrip_torchfree(tmp_path, rng, monkeypatch):
     """Reverse interop: our picker checkpoints export as torch zip-format
     state-dict .sav WITHOUT torch (models/convert.write_sav), the export

@@ -358,6 +358,20 @@ def test_train_from_list_with_space_paths(tmp_path, rng):
     got_bare = find_image_paths(str(bare))
     assert list(got_bare["path"]) == ["/tmp/a.mrc", "/tmp/b.mrc"]
 
+    # tab-separated header over space-separated rows: the tab parse
+    # "succeeds" but yields path=NaN on every row — must fall back
+    mixed = tmp_path / "mixed.txt"
+    mixed.write_text("image_name\tpath\na /tmp/a.mrc\nb /tmp/b.mrc\n")
+    got_mixed = find_image_paths(str(mixed))
+    assert list(got_mixed["path"]) == ["/tmp/a.mrc", "/tmp/b.mrc"]
+
+    # a stray tab making the tab parse ragged (ParserError) — must fall
+    # back to whitespace, which parses every row to 2 fields
+    ragged = tmp_path / "ragged.txt"
+    ragged.write_text("image_name path\na /tmp/a.mrc\nb\t/tmp/b.mrc\n")
+    got_ragged = find_image_paths(str(ragged))
+    assert list(got_ragged["path"]) == ["/tmp/a.mrc", "/tmp/b.mrc"]
+
     args = types.SimpleNamespace(
         describe=False, device=0, num_workers=0, num_threads=0,
         train_images=str(list_file), train_targets=targets_path,

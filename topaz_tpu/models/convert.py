@@ -280,14 +280,8 @@ def _load_sav_zip(path_or_file):
 
 
 def _load_sav_legacy(fh):
-    import pickle
     import struct
 
-    magic = pickle.load(fh)
-    if magic != 0x1950A86A20F9469CFC6C:
-        raise ValueError("not a torch legacy checkpoint (bad magic)")
-    pickle.load(fh)  # protocol version
-    pickle.load(fh)  # sys_info
     stub_cache: Dict = {}
     storages: Dict[str, _StorageRef] = {}
 
@@ -309,8 +303,21 @@ def _load_sav_legacy(fh):
             return _StorageView(root, offset, view_numel)
         return root
 
-    obj = _restricted_unpickler(fh, persistent_load, stub_cache).load()
-    keys = _restricted_unpickler(fh, persistent_load, stub_cache).load()
+    def _load():
+        return _restricted_unpickler(fh, persistent_load, stub_cache).load()
+
+    # the preamble pickles (magic, protocol, sys_info — builtins only) go
+    # through the restricted unpickler too: a plain pickle.load here would
+    # let a crafted non-zip .sav execute arbitrary GLOBAL+REDUCE payloads
+    # before the guard ever sees the main pickle
+    magic = _load()
+    if magic != 0x1950A86A20F9469CFC6C:
+        raise ValueError("not a torch legacy checkpoint (bad magic)")
+    _load()  # protocol version
+    _load()  # sys_info
+
+    obj = _load()
+    keys = _load()
     for key in keys:
         (numel,) = struct.unpack("<q", fh.read(8))
         ref = storages[key]
@@ -326,9 +333,9 @@ def load_sav(path_or_file):
     checkpoints still work where torch is installed."""
     import zipfile
 
+    pos = path_or_file.tell() if hasattr(path_or_file, "read") else None
     try:
-        if hasattr(path_or_file, "read"):
-            pos = path_or_file.tell()
+        if pos is not None:
             is_zip = zipfile.is_zipfile(path_or_file)
             path_or_file.seek(pos)
             if is_zip:
@@ -349,8 +356,10 @@ def load_sav(path_or_file):
 
         warnings.warn(f"torch-free .sav reader failed ({e!r}); "
                       f"falling back to torch.load")
-        if hasattr(path_or_file, "seek"):
-            path_or_file.seek(0)
+        if pos is not None:
+            # rewind to where the handle stood on entry, not to byte 0 —
+            # the checkpoint may start mid-file
+            path_or_file.seek(pos)
         return _load_torch(path_or_file)
 
 
@@ -654,10 +663,59 @@ def _from_hwio(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(np.asarray(w), perm))
 
 
+def _basic_conv_state_dict(spec, params: Dict, state: Dict) -> Dict[str, np.ndarray]:
+    """conv31/63/127 export layout: the reference BasicConv
+    (topaz/model/features/basic.py:15-76) stores raw nn.Conv2d /
+    BatchNorm / activation modules directly in its Sequential, so every
+    conv group spans several Sequential slots (conv, [bn], act, [pool],
+    [dropout]) — unlike our one-spec-per-group indexing and unlike the
+    resnet module layout."""
+    from topaz_tpu.models.layers import ConvSpec, DropoutSpec, PoolSpec
+
+    sd: Dict[str, np.ndarray] = {}
+    feat_params = params.get("features", {})
+    feat_state = (state or {}).get("features", {})
+    slot = 0
+    for idx, lspec in enumerate(spec.features):
+        lp = feat_params.get(str(idx), {})
+        ls = feat_state.get(str(idx), {})
+        if isinstance(lspec, (PoolSpec, DropoutSpec)):
+            slot += 1  # param-less Sequential slot
+            continue
+        if not isinstance(lspec, ConvSpec):
+            raise ValueError(
+                f"unexpected layer {type(lspec).__name__} in a conv arch")
+        pre = f"features.features.{slot}."
+        sd[pre + "weight"] = _from_hwio(lp["conv_w"])
+        if "conv_b" in lp:
+            sd[pre + "bias"] = np.asarray(lp["conv_b"])
+        slot += 1
+        if lspec.bn:
+            pre = f"features.features.{slot}."
+            sd[pre + "weight"] = np.asarray(lp["bn"]["scale"])
+            sd[pre + "bias"] = np.asarray(lp["bn"]["bias"])
+            sd[pre + "running_mean"] = np.asarray(ls["bn"]["mean"])
+            sd[pre + "running_var"] = np.asarray(ls["bn"]["var"])
+            sd[pre + "num_batches_tracked"] = np.zeros((), np.int64)
+            slot += 1
+        if "prelu" in lp:  # nn.PReLU() holds one weight; ReLU is param-less
+            sd[f"features.features.{slot}.weight"] = \
+                np.asarray(lp["prelu"]).reshape(1)
+        slot += 1
+    if "classifier" in params:
+        sd["classifier.weight"] = _from_hwio(params["classifier"]["w"])
+        sd["classifier.bias"] = np.asarray(params["classifier"]["b"])
+    return sd
+
+
 def picker_state_dict(spec, params: Dict, state: Dict) -> Dict[str, np.ndarray]:
     """Inverse of :func:`picker_params_from_state_dict`: our picker trees
     -> the reference LinearClassifier state-dict key layout
-    (topaz/model/classifier.py + features/resnet.py)."""
+    (topaz/model/classifier.py + features/resnet.py; conv archs use the
+    raw-Sequential layout of features/basic.py via
+    :func:`_basic_conv_state_dict`)."""
+    if spec.arch.startswith("conv"):
+        return _basic_conv_state_dict(spec, params, state)
     sd: Dict[str, np.ndarray] = {}
     feat_params = params.get("features", {})
     feat_state = (state or {}).get("features", {})
@@ -738,6 +796,15 @@ def export_picker_sav(path: str, model: str,
         kwargs["pooling"] = cfg["pooling"]
     if spec.arch.startswith("conv") and cfg.get("unit_scaling"):
         kwargs["unit_scaling"] = int(cfg["unit_scaling"])
+    act = cfg.get("activation")
+    if act is not None:
+        # reference defaults: PReLU for conv archs (basic.py:16), ReLU for
+        # resnets (resnet.py:255,281) — only pass the kwarg when it differs
+        default = "prelu" if spec.arch.startswith("conv") else "relu"
+        if act != default:
+            import torch.nn as nn
+
+            kwargs["activation"] = {"relu": nn.ReLU, "prelu": nn.PReLU}[act]
     feat = get_feature_extractor(spec.arch, **kwargs)
     module = LinearClassifier(feat)
     module.load_state_dict({

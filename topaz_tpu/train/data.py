@@ -79,8 +79,16 @@ def find_image_paths(images_path: str, image_ext: str = "") -> pd.DataFrame:
     # train_test_split and the reference's both write sep='\t'), so try the
     # tab read first — space-containing paths survive — and fall back to
     # whitespace splitting for hand-written bare lists.
-    df = pd.read_csv(images_path, sep="\t")
-    if "path" not in df.columns:
+    # the tab parse must be rejected not just when the 'path' column is
+    # absent but also when it parsed to garbage: a tab-separated header
+    # over space-separated rows yields path=NaN everywhere, and ragged tab
+    # counts raise ParserError — both must fall back to whitespace
+    try:
+        df = pd.read_csv(images_path, sep="\t")
+        tab_ok = "path" in df.columns and not df["path"].isna().any()
+    except pd.errors.ParserError:
+        tab_ok = False
+    if not tab_ok:
         df = pd.read_csv(images_path, sep=r"\s+")
     return df
 
