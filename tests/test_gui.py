@@ -73,8 +73,29 @@ def test_gui_feature_surface():
                     "importEman2", "exp-txt", "exp-box", "exp-star",
                     "exp-json", "threshold", "save-session", "cmd", "flipy",
                     "scorehist", "drawScoreHist", "setSection", "gamma",
-                    "sectionrow", "pickstats"):
+                    "sectionrow", "pickstats", "pushUndo", "undo", "redo",
+                    "toggle-picks", "restore-autosave", "scheduleAutosave",
+                    "localStorage"):
         assert feature in html, f"GUI lost feature: {feature}"
+
+
+def test_gui_undo_wired_into_every_mutation():
+    """Every pick-mutating path must push an undo entry: each import
+    function, loadSession, the clear buttons, and the canvas add/erase
+    handlers. A mutation path without pushUndo silently breaks Ctrl+Z."""
+    _, p = _parse()
+    js = "\n".join(p.scripts)
+    for fn in ("importTSV", "importBox", "importStar", "importEman2",
+               "loadSession"):
+        m = re.search(r"function %s\([^)]*\) \{\n(.*?)\n\}" % fn, js,
+                      re.DOTALL)
+        assert m, f"{fn} not found"
+        assert "pushUndo()" in m.group(1), f"{fn} mutates without pushUndo"
+    # canvas handlers + clear buttons: count the remaining call sites
+    body_calls = js.count("pushUndo()")
+    # 5 import/session fns + add + erase + drag-move + clear-image +
+    # clear-all = 10 minimum
+    assert body_calls >= 10, f"only {body_calls} pushUndo call sites"
 
 
 def test_gui_cli_launcher_points_at_asset():
