@@ -136,6 +136,55 @@ def test_mid_epoch_resume_after_crash(tmp_path, rng, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_elastic_resume_across_mesh_sizes(tmp_path, rng):
+    """Elastic resume: a full-state checkpoint written by an 8-device
+    data-parallel run (-d -2) resumes on a SINGLE device, and vice versa.
+    Checkpoints store replicated numpy leaves, so the state is
+    mesh-shape-agnostic by construction; this proves it end-to-end. The
+    resumed run must match an uninterrupted single-device run to float
+    tolerance (the only divergence is the gradient-reduction order of the
+    mesh epoch). Extension over the reference, which has no distributed
+    training at all (SURVEY section 5, elastic/fault tolerance)."""
+    import jax
+    from test_training import _make_synthetic_dataset
+    from topaz_tpu.training import train_from_args
+
+    assert len(jax.devices()) >= 8  # conftest forces 8 virtual CPU devices
+
+    img_dir, targets_path = _make_synthetic_dataset(tmp_path, rng)
+
+    # uninterrupted 2-epoch single-device baseline
+    _, s_straight = train_from_args(
+        _args(tmp_path, img_dir, targets_path, num_epochs=2, epoch_size=3,
+              save_prefix=str(tmp_path / "base" / "m")))
+
+    # mesh epoch 1 (-d -2, batch 8 over 8 devices) -> resume epoch 2 on one
+    _, _ = train_from_args(
+        _args(tmp_path, img_dir, targets_path, num_epochs=1, epoch_size=3,
+              device=-2, save_prefix=str(tmp_path / "mesh" / "m")))
+    state_file = str(tmp_path / "mesh" / "m_train_state.npz")
+    assert os.path.exists(state_file)
+    _, s_shrunk = train_from_args(
+        _args(tmp_path, img_dir, targets_path, num_epochs=2, epoch_size=3,
+              device=0, save_prefix=str(tmp_path / "mesh" / "m"),
+              resume=state_file))
+
+    # single-device epoch 1 -> resume epoch 2 on the mesh
+    _, _ = train_from_args(
+        _args(tmp_path, img_dir, targets_path, num_epochs=1, epoch_size=3,
+              save_prefix=str(tmp_path / "grow" / "m")))
+    _, s_grown = train_from_args(
+        _args(tmp_path, img_dir, targets_path, num_epochs=2, epoch_size=3,
+              device=-2, save_prefix=str(tmp_path / "grow" / "m"),
+              resume=str(tmp_path / "grow" / "m_train_state.npz")))
+
+    for s_other in (s_shrunk, s_grown):
+        for a, b in zip(_leaves(s_straight), _leaves(s_other)):
+            np.testing.assert_allclose(np.asarray(a, dtype=np.float64),
+                                       np.asarray(b, dtype=np.float64),
+                                       rtol=2e-4, atol=1e-6)
+
+
 def test_train_cli_resume_flags_parse():
     from topaz_tpu.cli.commands import train as train_cmd
 
