@@ -39,6 +39,7 @@ MODULES = [
     ("topaz_tpu.denoise", "denoising workflows (2D/3D)"),
     ("topaz_tpu.preprocess", "normalization workflow"),
     ("topaz_tpu.pipeline", "batched mixed-size pipeline"),
+    ("topaz_tpu.watch", "streaming acquisition watcher"),
 ]
 
 
