@@ -167,6 +167,29 @@ def test_watch_cli_parses_and_runs(tmp_path, rng, monkeypatch, capsys):
     assert len(lines) > 1 and lines[1].startswith("m0\t")
 
 
+def test_watcher_recursive_nested_dirs(tmp_path):
+    """--recursive sees files in subdirectories created after watching
+    starts (EPU/SerialEM layout: per-grid-square folders)."""
+    from topaz_tpu.watch import DirectoryWatcher
+
+    d = tmp_path / "in"
+    (d / "GridSquare_1" / "Data").mkdir(parents=True)
+    (d / "GridSquare_1" / "Data" / "a.mrc").write_bytes(b"x" * 50)
+
+    flat = DirectoryWatcher(str(d))
+    assert flat.scan() == [] and flat.scan() == []  # flat: never seen
+
+    w = DirectoryWatcher(str(d), recursive=True)
+    assert w.scan() == []
+    assert w.scan() == [str(d / "GridSquare_1" / "Data" / "a.mrc")]
+
+    # a directory appearing mid-run is picked up on later polls
+    (d / "GridSquare_2").mkdir()
+    (d / "GridSquare_2" / "b.mrc").write_bytes(b"y" * 10)
+    assert w.scan() == []
+    assert w.scan() == [str(d / "GridSquare_2" / "b.mrc")]
+
+
 def test_watch_fast_flag_resolves(tmp_path):
     from topaz_tpu.cli.commands import watch as watch_cmd
 

@@ -46,6 +46,10 @@ def add_arguments(parser=None):
                              "repeatable)")
     parser.add_argument("--poll-interval", type=float, default=5.0,
                         help="seconds between directory polls (default: 5)")
+    parser.add_argument("--recursive", action="store_true",
+                        help="also watch subdirectories created during the "
+                             "run (EPU/SerialEM write per-grid-square "
+                             "folders)")
     parser.add_argument("--settle-polls", type=int, default=1,
                         help="polls a file's size must be unchanged before "
                              "it counts as fully written (default: 1; "

@@ -44,12 +44,15 @@ class DirectoryWatcher:
 
     def __init__(self, input_dir: str, patterns: Sequence[str] = ("*.mrc",),
                  manifest_path: Optional[str] = None, settle_polls: int = 1,
-                 reprocess_grown: bool = False):
+                 reprocess_grown: bool = False, recursive: bool = False):
         self.input_dir = input_dir
         self.patterns = list(patterns)
         self.manifest_path = manifest_path
         self.settle_polls = max(1, int(settle_polls))
         self.reprocess_grown = bool(reprocess_grown)
+        # recursive: acquisition software (EPU, SerialEM) nests micrographs
+        # in per-grid-square subdirectories created during the run
+        self.recursive = bool(recursive)
         #: path -> (last seen size, consecutive stable polls)
         self._pending: Dict[str, Tuple[int, int]] = {}
         #: path -> size when offered by scan(); never re-offered at that
@@ -67,33 +70,49 @@ class DirectoryWatcher:
     def _matches(self, name: str) -> bool:
         return any(fnmatch.fnmatch(name, p) for p in self.patterns)
 
+    def _entries(self):
+        if not self.recursive:
+            with os.scandir(self.input_dir) as it:
+                yield from it
+            return
+        stack = [self.input_dir]
+        while stack:
+            try:
+                with os.scandir(stack.pop()) as it:
+                    for e in it:
+                        if e.is_dir(follow_symlinks=False):
+                            stack.append(e.path)
+                        else:
+                            yield e
+            except OSError:
+                continue  # directory vanished mid-scan
+
     def scan(self) -> List[str]:
         """One poll; returns newly *stable* files (sorted by mtime then
         name, so processing follows acquisition order)."""
         found = []
-        with os.scandir(self.input_dir) as it:
-            for e in it:
-                if not e.is_file() or not self._matches(e.name):
+        for e in self._entries():
+            if not e.is_file() or not self._matches(e.name):
+                continue
+            try:
+                st = e.stat()
+            except OSError:
+                continue  # vanished mid-scan
+            path = e.path
+            if path in self.done:
+                if not (self.reprocess_grown
+                        and st.st_size > self.done[path]):
                     continue
-                try:
-                    st = e.stat()
-                except OSError:
-                    continue  # vanished mid-scan
-                path = e.path
-                if path in self.done:
-                    if not (self.reprocess_grown
-                            and st.st_size > self.done[path]):
-                        continue
-                if self._offered.get(path) == st.st_size:
-                    continue  # already handed out at this size
-                size, stable = self._pending.get(path, (-1, 0))
-                if st.st_size == size:
-                    stable += 1
-                else:
-                    stable = 0
-                self._pending[path] = (st.st_size, stable)
-                if stable >= self.settle_polls:
-                    found.append((st.st_mtime, e.name, path))
+            if self._offered.get(path) == st.st_size:
+                continue  # already handed out at this size
+            size, stable = self._pending.get(path, (-1, 0))
+            if st.st_size == size:
+                stable += 1
+            else:
+                stable = 0
+            self._pending[path] = (st.st_size, stable)
+            if stable >= self.settle_polls:
+                found.append((st.st_mtime, e.name, path))
         ready = [p for _, _, p in sorted(found)]
         for p in ready:
             self._offered[p] = self._pending.pop(p)[0]
@@ -126,6 +145,7 @@ def watch_directory(
     patterns: Sequence[str] = ("*.mrc",),
     poll_interval: float = 5.0,
     settle_polls: int = 1,
+    recursive: bool = False,
     once: bool = False,
     idle_timeout: Optional[float] = None,
     mesh=None,
@@ -172,7 +192,7 @@ def watch_directory(
 
     watcher = DirectoryWatcher(
         input_dir, patterns=patterns, manifest_path=output + ".manifest.json",
-        settle_polls=settle_polls)
+        settle_polls=settle_polls, recursive=recursive)
 
     fresh = not os.path.exists(output) or os.path.getsize(output) == 0
     out_f = open(output, "a")
@@ -268,6 +288,7 @@ def watch_from_args(args) -> int:
         patterns=args.pattern,
         poll_interval=args.poll_interval,
         settle_polls=args.settle_polls,
+        recursive=getattr(args, "recursive", False),
         once=args.once,
         idle_timeout=args.idle_timeout,
         mesh=mesh,
