@@ -420,3 +420,58 @@ def test_skip_errors_continues_past_bad_files(tmp_path, rng):
         np.testing.assert_array_equal(results[p][1], solo[p][1])
         np.testing.assert_allclose(results[p][0], solo[p][0],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_hybrid_data_space_mesh_matches_single(tmp_path, rng):
+    """Hybrid (data x space) meshes: batch over 'data', image H axis over
+    'space' (GSPMD conv halo exchange + masked-stat psums + score
+    all-gather before NMS). 2x4 and pure-spatial 1x8 must match the
+    single-device pipeline exactly, denoise arm included."""
+    from topaz_tpu.parallel.mesh import make_mesh
+    from topaz_tpu.pipeline import MicrographPipeline
+
+    paths = []
+    for i, shape in enumerate([(128, 128), (120, 128), (128, 96),
+                               (64, 64)]):
+        p = tmp_path / f"hy{i}.mrc"
+        _write_micrograph(p, rng, shape,
+                          [(shape[0] // 2, shape[1] // 2), (20, 30)])
+        paths.append(str(p))
+
+    kw = dict(model="resnet8_u32", denoise_model="fcnn", scale=1,
+              radius=4, threshold=1.0, max_peaks=32, bucket_step=64)
+    single = MicrographPipeline(**kw)
+    ref = {p: (s, c, d) for p, s, c, d in single.process(paths)}
+
+    for n_data, n_space, bs in [(2, 4, 2), (1, 8, 1)]:
+        mesh = make_mesh(n_data=n_data, n_space=n_space)
+        pipe = MicrographPipeline(mesh=mesh, **kw)
+        got = {p: (s, c, d) for p, s, c, d in
+               pipe.process(paths, batch_size=bs)}
+        assert set(got) == set(ref)
+        for p in paths:
+            s_m, c_m, d_m = got[p]
+            s_1, c_1, d_1 = ref[p]
+            assert len(s_m) == len(s_1) > 0
+            np.testing.assert_array_equal(c_m, c_1)
+            np.testing.assert_allclose(s_m, s_1, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(d_m, d_1, rtol=1e-3, atol=1e-4)
+
+
+def test_hybrid_mesh_factory():
+    """hybrid_mesh_for factors leftover devices into the space axis."""
+    import jax
+
+    from topaz_tpu.parallel.devices import hybrid_mesh_for
+
+    devs = jax.devices()
+    assert len(devs) >= 8
+    m = hybrid_mesh_for(devs[:8], batch_size=2)
+    assert (m.shape["data"], m.shape["space"]) == (2, 4)
+    m = hybrid_mesh_for(devs[:8], batch_size=1)
+    assert (m.shape["data"], m.shape["space"]) == (1, 8)
+    m = hybrid_mesh_for(devs[:8], batch_size=8)
+    assert (m.shape["data"], m.shape["space"]) == (8, 1)
+    m = hybrid_mesh_for(devs[:8], batch_size=3)  # 3x2 of 8, warns
+    assert (m.shape["data"], m.shape["space"]) == (3, 2)
+    assert hybrid_mesh_for(devs[:1], batch_size=1) is None

@@ -313,12 +313,14 @@ def _extract_batched(paths, model, threshold, radius, batch_size, output,
     """Batched extraction through the device pipeline (pipeline.py),
     sharded over the mesh's data axis when multiple devices are given."""
     from topaz_tpu.io import coordinates as file_utils
-    from topaz_tpu.parallel.devices import data_mesh_for
+    from topaz_tpu.parallel.devices import hybrid_mesh_for
     from topaz_tpu.pipeline import MicrographPipeline
 
-    mesh = data_mesh_for(devices, batch_size, warn=True)
+    mesh = hybrid_mesh_for(devices, batch_size, warn=True)
     if mesh is not None:
-        report(f"Batched scoring sharded over {mesh.shape['data']} devices")
+        nd, ns = mesh.shape["data"], mesh.shape.get("space", 1)
+        report(f"Batched scoring sharded over {nd * ns} devices"
+               + (f" ({nd} batch x {ns} spatial)" if ns > 1 else ""))
     pipe = MicrographPipeline(model=model, scale=1, radius=radius,
                               threshold=threshold, normalize=False,
                               mesh=mesh, precision=precision,

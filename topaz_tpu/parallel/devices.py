@@ -120,6 +120,39 @@ def data_mesh_for(devices, batch_size: Optional[int] = None,
     return make_mesh(n_data=n, n_space=1, devices=devices[:n])
 
 
+def hybrid_mesh_for(devices, batch_size: Optional[int] = None,
+                    warn: bool = False):
+    """A (data, space) mesh that uses EVERY device: the batch axis shards
+    over 'data' (largest device count dividing ``batch_size``, as in
+    :func:`data_mesh_for`) and leftover devices shard the image H axis
+    over 'space' (largest power of two with data*space <= n — powers of
+    two keep the 64-multiple shape buckets divisible). With batch 2 on 8
+    chips this yields a 2x4 mesh; with batch 1, 1x8 — pure spatial
+    sharding — where :func:`data_mesh_for` would fall back to one chip.
+    Returns None when fewer than two devices would participate."""
+    if devices is None or len(devices) < 2:
+        return None
+    n = len(devices)
+    n_data = n
+    if batch_size is not None:
+        while n_data > 1 and batch_size % n_data != 0:
+            n_data -= 1
+    n_space = 1
+    while n_data * n_space * 2 <= n:
+        n_space *= 2
+    if n_data * n_space < 2:
+        return None
+    if warn and n_data * n_space < n:
+        print(f"# note: using a {n_data}x{n_space} (data x space) mesh on "
+              f"{n} devices; a batch size dividing the device count would "
+              f"use every chip", file=sys.stderr)
+
+    from topaz_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n_data=n_data, n_space=n_space,
+                     devices=devices[: n_data * n_space])
+
+
 def space_mesh_for(devices):
     """A 'space'-axis mesh over ``devices`` for halo-sharded single-image
     work. Returns None when fewer than two devices are given."""

@@ -39,17 +39,19 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def jit_sharded_args(fn, mesh: Optional[Mesh], specs):
-    """jit ``fn`` with each positional arg replicated (``"rep"``) or sharded
-    over the mesh's data axis (``"data"``); plain ``jax.jit`` when ``mesh``
-    is None. The returned callable device_puts every argument to its
-    sharding so host arrays land already-sharded instead of being uploaded
-    to one device and resharded. Single home for the mesh-or-not jit idiom
-    used by the batched denoise/normalize/pipeline paths."""
+    """jit ``fn`` with each positional arg replicated (``"rep"``), sharded
+    over the mesh's data axis (``"data"``), or sharded over data AND the
+    second axis over space (``"data_space"`` — GSPMD inserts the conv halo
+    exchanges); plain ``jax.jit`` when ``mesh`` is None. The returned
+    callable device_puts every argument to its sharding so host arrays
+    land already-sharded instead of being uploaded to one device and
+    resharded. Single home for the mesh-or-not jit idiom used by the
+    batched denoise/normalize/pipeline paths."""
     if mesh is None:
         return jax.jit(fn)
-    shardings = tuple(
-        NamedSharding(mesh, P("data") if s == "data" else P())
-        for s in specs)
+    part = {"data": P("data"), "data_space": P("data", "space"),
+            "rep": P()}
+    shardings = tuple(NamedSharding(mesh, part[s]) for s in specs)
     jitted = jax.jit(fn, in_shardings=shardings)
 
     def run(*args):

@@ -161,6 +161,25 @@ class MicrographPipeline:
 
         from topaz_tpu.utils.batching import valid_mask
 
+        # hybrid data x space sharding: when the mesh carries a non-trivial
+        # 'space' axis (more devices than micrographs per batch), the image
+        # H axis is sharded too — GSPMD inserts the conv halo exchanges for
+        # scoring/denoising, the masked-statistic psums, and one
+        # all-gather of the (small) score map before the sequential NMS
+        # rounds, which run replicated
+        n_space = (self.mesh.shape.get("space", 1)
+                   if self.mesh is not None else 1)
+        spatial = n_space > 1 and bucket[0] % n_space == 0
+
+        def _gather_space(x):
+            if not spatial:
+                return x
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return _jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, P("data")))
+
         def fn(padded, valid):  # (B, bh, bw) post-downsample, valid (B, 2)
             B = padded.shape[0]
             mask = valid_mask((bh, bw), valid)
@@ -194,6 +213,7 @@ class MicrographPipeline:
                 norms = padded
             scores, _ = apply_picker(spec, params, norms, state=state,
                                      dense=True, precision=precision)
+            scores = _gather_space(scores)
             scores = jnp.where(mask, scores, NEG)
             scores = jnp.where(degen[:, None, None], NEG, scores)
             vals, coords, counts = nms_topk_batched(scores, r, t, k)
@@ -224,7 +244,9 @@ class MicrographPipeline:
 
         from topaz_tpu.parallel.mesh import jit_sharded_args
 
-        return jit_sharded_args(fn, self.mesh, ("data", "data"))
+        return jit_sharded_args(
+            fn, self.mesh,
+            ("data_space" if spatial else "data", "data"))
 
     def _fn_for(self, bucket: Tuple[int, int]):
         # keyed by bucket only: the jitted program retraces per batch size

@@ -258,15 +258,17 @@ def watch_directory(
 
 def watch_from_args(args) -> int:
     """CLI adapter (cli/commands/watch.py)."""
-    from topaz_tpu.parallel.devices import data_mesh_for, resolve_devices
+    from topaz_tpu.parallel.devices import hybrid_mesh_for, resolve_devices
 
     mesh = None
     dev_flag = getattr(args, "device", 0)
     if dev_flag == -2:
-        mesh = data_mesh_for(resolve_devices(-2), args.batch_size, warn=True)
+        mesh = hybrid_mesh_for(resolve_devices(-2), args.batch_size,
+                               warn=True)
         if mesh is not None:
-            report(f"watch: pipeline sharded over {mesh.shape['data']} "
-                   f"devices")
+            nd, ns = mesh.shape["data"], mesh.shape.get("space", 1)
+            report(f"watch: pipeline sharded over {nd * ns} devices"
+                   + (f" ({nd} batch x {ns} spatial)" if ns > 1 else ""))
     elif dev_flag >= 0:
         resolve_devices(dev_flag)
 
