@@ -190,6 +190,50 @@ def test_watcher_recursive_nested_dirs(tmp_path):
     assert w.scan() == [str(d / "GridSquare_2" / "b.mrc")]
 
 
+def test_watch_per_micrograph_star_files(tmp_path, rng):
+    """--per-micrograph writes one coordinate file per micrograph into the
+    output directory (live RELION import layout), restart-safe via the
+    in-directory manifest; star rows round-trip through the star parser."""
+    from topaz_tpu.io import coordinates as file_utils
+    from topaz_tpu.watch import watch_directory
+
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(2):
+        _write_micrograph(d / f"mic{i}.mrc", rng)
+    out_dir = str(tmp_path / "picks")
+
+    kw = dict(model="resnet8_u32", scale=1, radius=6, threshold=1.0,
+              batch_size=1, poll_interval=0.01, once=True,
+              per_micrograph=True, out_format="star", suffix="_topaz")
+    n = watch_directory(str(d), out_dir, **kw)
+    assert n == 2
+    files = sorted(os.listdir(out_dir))
+    assert "watch.manifest.json" in files
+    star_files = [f for f in files if f.endswith(".star")]
+    assert star_files == ["mic0_topaz.star", "mic1_topaz.star"]
+    table = file_utils.read_coordinates(
+        os.path.join(out_dir, "mic0_topaz.star"), format="star")
+    assert len(table) > 0
+    assert {"image_name", "x_coord", "y_coord", "score"} <= set(table.columns)
+
+    # restart: nothing reprocessed; a new arrival gets its own file
+    _write_micrograph(d / "mic2.mrc", rng, peaks=((60, 60),))
+    n = watch_directory(str(d), out_dir, **kw)
+    assert n == 1
+    assert os.path.exists(os.path.join(out_dir, "mic2_topaz.star"))
+
+
+def test_watch_per_micrograph_cli_flags(tmp_path):
+    from topaz_tpu.cli.commands import watch as watch_cmd
+
+    p = watch_cmd.add_arguments()
+    args = p.parse_args(["in", "-o", "picks/", "--per-micrograph",
+                         "--format", "star", "--suffix", "_topaz"])
+    assert args.per_micrograph and args.out_format == "star"
+    assert args.suffix == "_topaz"
+
+
 def test_watch_fast_flag_resolves(tmp_path):
     from topaz_tpu.cli.commands import watch as watch_cmd
 

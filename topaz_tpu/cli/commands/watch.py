@@ -60,6 +60,19 @@ def add_arguments(parser=None):
     parser.add_argument("--idle-timeout", type=float, default=None,
                         help="exit after this many seconds without a new "
                              "micrograph (default: watch forever)")
+    parser.add_argument("--per-micrograph", action="store_true",
+                        help="write one coordinate file per micrograph into "
+                             "the --output DIRECTORY instead of appending "
+                             "to a single table (the layout live RELION/"
+                             "CryoSPARC imports consume)")
+    parser.add_argument("--format", dest="out_format", default="coord",
+                        choices=["coord", "csv", "star", "json", "box"],
+                        help="per-micrograph coordinate file format, as in "
+                             "extract --format (default: coord; with "
+                             "--per-micrograph)")
+    parser.add_argument("--suffix", default="",
+                        help="filename suffix for per-micrograph files "
+                             "(default: none)")
     parser.add_argument("--fail-fast", action="store_true",
                         help="abort on unreadable files instead of "
                              "skipping them with a warning (a live "

@@ -154,6 +154,9 @@ def watch_directory(
     dtype=None,
     skip_errors: bool = True,
     up_scale: Optional[float] = None,
+    per_micrograph: bool = False,
+    out_format: str = "coord",
+    suffix: str = "",
     _poll_hook=None,
 ) -> int:
     """Watch ``input_dir`` and stream new micrographs through the pipeline.
@@ -164,6 +167,14 @@ def watch_directory(
     -x``); when ``denoise_model`` is set, a denoised preview of each
     micrograph (at the pipeline's working scale) is written to
     ``denoised_dir``. Returns the number of micrographs processed.
+
+    ``per_micrograph=True`` instead treats ``output`` as a DIRECTORY and
+    writes one coordinate file per micrograph (``<name><suffix>.<fmt>``,
+    any ``extract --format``: txt/star/box/json — the layout live
+    RELION/CryoSPARC imports consume; reference anchor
+    topaz/commands/extract.py:48 + topaz/utils/files.py write path). The
+    manifest lives inside the directory and each file is written before
+    the micrograph is marked done, so restarts stay lossless.
 
     Exit conditions: ``once=True`` processes the current backlog and
     returns; ``idle_timeout`` returns after that many seconds without a
@@ -183,21 +194,31 @@ def watch_directory(
         precision=precision, bins=bins, dtype=dtype,
         skip_errors=skip_errors)
 
-    os.makedirs(os.path.dirname(os.path.abspath(output)) or ".",
-                exist_ok=True)
+    if per_micrograph:
+        out_dir = output
+        os.makedirs(out_dir, exist_ok=True)
+        manifest_path = os.path.join(out_dir, "watch.manifest.json")
+        anchor_dir = out_dir
+    else:
+        os.makedirs(os.path.dirname(os.path.abspath(output)) or ".",
+                    exist_ok=True)
+        manifest_path = output + ".manifest.json"
+        anchor_dir = os.path.dirname(os.path.abspath(output))
     if denoise_model is not None:
-        denoised_dir = denoised_dir or os.path.join(
-            os.path.dirname(os.path.abspath(output)), "denoised")
+        denoised_dir = denoised_dir or os.path.join(anchor_dir, "denoised")
         os.makedirs(denoised_dir, exist_ok=True)
 
     watcher = DirectoryWatcher(
-        input_dir, patterns=patterns, manifest_path=output + ".manifest.json",
+        input_dir, patterns=patterns, manifest_path=manifest_path,
         settle_polls=settle_polls, recursive=recursive)
 
-    fresh = not os.path.exists(output) or os.path.getsize(output) == 0
-    out_f = open(output, "a")
-    if fresh:
-        print("image_name\tx_coord\ty_coord\tscore", file=out_f, flush=True)
+    out_f = None
+    if not per_micrograph:
+        fresh = not os.path.exists(output) or os.path.getsize(output) == 0
+        out_f = open(output, "a")
+        if fresh:
+            print("image_name\tx_coord\ty_coord\tscore", file=out_f,
+                  flush=True)
 
     n_processed = 0
     last_activity = time.monotonic()
@@ -213,13 +234,30 @@ def watch_directory(
                 report(f"watch: {len(ready)} new micrograph(s)")
                 for result in pipe.process(ready, batch_size=batch_size):
                     path, scores, coords = result[:3]
-                    name = os.path.splitext(os.path.basename(path))[0]
+                    name, in_ext = os.path.splitext(os.path.basename(path))
                     if up_scale != 1:
                         coords = np.round(
                             np.asarray(coords) * up_scale).astype(int)
-                    for i in range(len(scores)):
-                        print(f"{name}\t{coords[i, 0]}\t{coords[i, 1]}"
-                              f"\t{scores[i]}", file=out_f)
+                    if per_micrograph:
+                        import pandas as pd
+
+                        from topaz_tpu.io import coordinates as file_utils
+
+                        table = pd.DataFrame(
+                            {"image_name": name,
+                             "x_coord": np.asarray(coords)[:, 0],
+                             "y_coord": np.asarray(coords)[:, 1],
+                             "score": np.asarray(scores)})
+                        out_path = os.path.join(
+                            out_dir, name + suffix + "." + out_format)
+                        with open(out_path, "w") as pf:
+                            file_utils.write_table(pf, table,
+                                                   format=out_format,
+                                                   image_ext=in_ext)
+                    else:
+                        for i in range(len(scores)):
+                            print(f"{name}\t{coords[i, 0]}\t{coords[i, 1]}"
+                                  f"\t{scores[i]}", file=out_f)
                     if len(result) > 3 and denoised_dir is not None:
                         write_mrc(
                             os.path.join(denoised_dir, name + ".mrc"),
@@ -233,7 +271,8 @@ def watch_directory(
                 for p in ready:
                     if p not in watcher.done:
                         watcher.mark_done(p)
-                out_f.flush()
+                if out_f is not None:
+                    out_f.flush()
                 watcher.save_manifest()
             if once:
                 # the stability check needs settle_polls+1 sightings of an
@@ -250,7 +289,8 @@ def watch_directory(
     except KeyboardInterrupt:
         report("watch: interrupted — manifest saved, safe to restart")
     finally:
-        out_f.close()
+        if out_f is not None:
+            out_f.close()
         watcher.save_manifest()
     report(f"watch: processed {n_processed} micrograph(s) total")
     return n_processed
@@ -298,4 +338,7 @@ def watch_from_args(args) -> int:
         bins=getattr(args, "bins", 0),
         dtype=dtype,
         skip_errors=not getattr(args, "fail_fast", False),
+        per_micrograph=getattr(args, "per_micrograph", False),
+        out_format=getattr(args, "out_format", "coord") or "coord",
+        suffix=getattr(args, "suffix", "") or "",
     )
