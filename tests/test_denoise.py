@@ -331,6 +331,39 @@ def test_fused_upsample_decoder_parity(rng, arch, monkeypatch):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fused_decoder_bf16_gate(monkeypatch):
+    """The fused-decoder area gate is byte-based: bfloat16 activations
+    double the safe area (the 4k f32 OOM is an HBM-bytes phenomenon;
+    v5e measured the bf16 fused U-Net 11% faster at 4096^2). Above the
+    f32 cap a bf16 decoder level must take the fused path AND stay
+    numerically equal to the materialized concat form."""
+    import jax
+    import jax.numpy as jnp
+
+    from topaz_tpu.models import denoise as D
+
+    assert D._fused_area_cap(jnp.float32) == D._FUSED_UP_MAX_AREA
+    assert D._fused_area_cap(jnp.bfloat16) == 4096 * 4096  # measured safe
+
+    # one decoder level sized between the f32 and bf16 caps (2304^2 out)
+    k = jax.random.PRNGKey(0)
+    h = jax.random.normal(k, (1, 1152, 1152, 2), jnp.bfloat16)
+    skip = jax.random.normal(jax.random.PRNGKey(1), (1, 2304, 2304, 1),
+                             jnp.bfloat16)
+    p = {"w": 0.1 * jax.random.normal(jax.random.PRNGKey(2), (3, 3, 3, 2),
+                                      jnp.bfloat16),
+         "b": jnp.zeros((2,), jnp.bfloat16)}
+    y_fused = D._up_block(h, skip, p)  # area > f32 cap -> fused via bf16
+    y_concat = D._conv_cat(D._up_nearest(h, (2304, 2304)), skip, p)
+    np.testing.assert_allclose(
+        np.asarray(y_fused, np.float32), np.asarray(y_concat, np.float32),
+        rtol=5e-2, atol=5e-2)  # bf16 summation-order tolerance
+    # f32 at the same size keeps the materialized form (routing check:
+    # identical values either way, so assert the gate decision directly)
+    assert 2304 * 2304 > D._fused_area_cap(jnp.float32)
+    assert 2304 * 2304 <= D._fused_area_cap(jnp.bfloat16)
+
+
 def test_auto_patch_size_economics():
     """auto_patch_size minimizes n_patches * (s+2p)^3 with MXU-aligned
     padded extents, reproducing the measured patch-economics ranking

@@ -59,7 +59,7 @@ def _conv_cat(a, b, p, dims=2, precision=None):
     area = 1
     for s in a.shape[1 : 1 + dims]:
         area *= int(s)
-    if area > 2048 * 2048:
+    if area > _fused_area_cap(a.dtype):
         return _conv(jnp.concatenate([a, b], axis=-1), p, dims, precision)
     dn = ("NHWC", "HWIO", "NHWC") if dims == 2 else ("NDHWC", "DHWIO", "NDHWC")
     ca = a.shape[-1]
@@ -117,6 +117,23 @@ def _fused_up_enabled():
 _FUSED_UP_MAX_AREA = 2048 * 2048
 
 
+def _fused_area_cap(dtype) -> int:
+    """The OOM behind _FUSED_UP_MAX_AREA is a bytes phenomenon: the f32
+    input-dilated lowering materializes an 8 GB temp at 4096^2 while
+    2048^2 compiles fine (the true f32 edge is somewhere in between, so
+    the f32 cap stays at the proven 2048^2). Half-width activations halve
+    the temp: bfloat16 at 4096^2 compiles AND wins (v5e measured: 280 ms
+    concat -> 251 ms fused for the whole U-Net, -11%), so the bf16 cap is
+    the measured-safe 4096^2; 8k images would double the f32 temp bytes
+    again and fall back to the concat form."""
+    try:
+        if jnp.dtype(dtype).itemsize <= 2:
+            return 4 * _FUSED_UP_MAX_AREA  # 4096*4096, measured safe
+    except TypeError:
+        pass
+    return _FUSED_UP_MAX_AREA
+
+
 def _conv_up_cat(h, skip, p, dims=2, precision=None):
     """``conv(concat([nearest_2x(h), skip], -1))`` with neither the upsample
     nor the concat materialized: the h half of the kernel becomes one
@@ -161,7 +178,7 @@ def _dec1_block(params_dec1, h, x, dims=2, precision=None):
     banding = os.environ.get("TOPAZ_BAND_DEC1", "0") == "1"
     exact2x = all(s == 2 * hh for hh, s in zip(hs, xs_sp))
     if (dims != 2 or not exact2x or not banding or not _fused_up_enabled()
-            or area <= _FUSED_UP_MAX_AREA):
+            or area <= _fused_area_cap(x.dtype)):
         hh = _lrelu(_up_block(h, x, params_dec1["0"], dims, precision))
         hh = _lrelu(_conv(hh, params_dec1["2"], dims, precision))
         return _conv(hh, params_dec1["4"], dims, precision)
@@ -195,7 +212,7 @@ def _up_block(h, skip, p, dims=2, precision=None):
     area = 1
     for s in ss:
         area *= int(s)
-    if (_fused_up_enabled() and area <= _FUSED_UP_MAX_AREA
+    if (_fused_up_enabled() and area <= _fused_area_cap(h.dtype)
             and all(s == 2 * hh for hh, s in zip(hs, ss))):
         return _conv_up_cat(h, skip, p, dims, precision)
     h = _up_nearest(h, ss, dims)
@@ -294,7 +311,7 @@ def apply_unet2(params: Dict, x: jnp.ndarray, dims: int = 2,
         area = 1
         for t in target:
             area *= int(t)
-        if (_fused_up_enabled() and area <= _FUSED_UP_MAX_AREA
+        if (_fused_up_enabled() and area <= _fused_area_cap(h.dtype)
                 and all(t == 2 * s for s, t in zip(hs, target))):
             p = params[name]["0"]
             h = _lrelu(_conv_up(h, p["w"], dims, precision) + p["b"])
