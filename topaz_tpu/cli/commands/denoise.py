@@ -34,7 +34,7 @@ def add_arguments(parser=None):
     parser.add_argument("--deconvolve", action="store_true", help="apply optimal Gaussian deconvolution filter to each micrograph before denoising")
     parser.add_argument("--deconv-patch", type=int, default=1, help="apply spatial covariance correction to micrograph in this many patches (default: 1)")
     parser.add_argument("--pixel-cutoff", type=float, default=0, help="set pixels >= this number of standard deviations away from the mean to the mean. only used when set > 0 (default: 0)")
-    parser.add_argument("--precision", choices=["f32", "bf16"], default="f32", help="inference precision; bf16 halves HBM traffic and doubles MXU rate (measured -22%% at 4k, ~0.4%% relative error) — f32 keeps bit-parity with the reference (default: f32)")
+    parser.add_argument("--precision", choices=["f32", "bf16"], default="f32", help="inference precision; bf16 halves HBM traffic and doubles MXU rate (measured -25%% at 4k, ~1%% relative error; also unlocks the fused decoder at 4k) — f32 keeps bit-parity with the reference (default: f32)")
     parser.add_argument("-s", "--patch-size", type=int, default=1024, help="denoises micrographs in patches of this size. not used if < 1 (default: 1024)")
     parser.add_argument("-p", "--patch-padding", type=int, default=500, help="padding around each patch to remove edge artifacts (default: 500)")
 

@@ -5,7 +5,7 @@ the opt-in accelerations that were individually benchmarked (BENCH_r02
 extras; ROADMAP "fast profile"):
 
   * ``--precision bf16`` where the command denoises or scores
-    (bf16 params+activations, f32 output; measured -22% denoise time at
+    (bf16 params+activations, f32 output; measured -25% denoise time at
     4096^2 with ~0.4% relative error on the denoised image),
   * histogram-EM normalization (``--bins 65536``) where the command fits
     the intensity GMM (full-pixel histogram EM, ~5x faster at 4k full

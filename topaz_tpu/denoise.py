@@ -70,10 +70,11 @@ class Denoise:
             self.params = jax.device_put(self.params)
         if dtype in ("bf16", "bfloat16"):
             # opt-in fast mode: params + activations in bfloat16, output
-            # cast back to f32. Measured on v5e at 4096^2: 408 -> 319 ms
-            # (-22%) at ~0.4% relative error — halves HBM traffic and
-            # doubles MXU rate. Default stays f32 for bit-level parity
-            # with the torch reference.
+            # cast back to f32. Measured on v5e at 4096^2: 305 -> 230 ms
+            # (-25%) at ~1% relative error — halves HBM traffic, doubles
+            # MXU rate, and un-OOMs the fused input-dilated decoder at 4k
+            # (models/denoise._fused_area_cap). Default stays f32 for
+            # bit-level parity with the torch reference.
             import jax
             import jax.numpy as jnp
 
