@@ -610,3 +610,73 @@ def test_conv31_whole_module_export_dropin(tmp_path, rng):
                            precision="highest")
     np.testing.assert_allclose(np.asarray(ours).ravel(), theirs,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_whole_image_oom_falls_back_to_patches(rng, capsys):
+    """A device OOM on whole-image denoising (measured: K3-sized
+    5760x4092 f32 frames exceed 16 GB HBM) degrades to reference-semantics
+    patch denoising with a warning instead of surfacing the XLA error,
+    and later same-or-larger images route straight to patches."""
+    from topaz_tpu.denoise import Denoise
+
+    x = rng.normal(0, 2, (200, 200)).astype(np.float32)
+    dn = Denoise("affine")
+
+    calls = {"n": 0}
+
+    def boom(params, arr):
+        calls["n"] += 1
+        raise RuntimeError(
+            "INTERNAL: XLA:TPU compile permanent error. Ran out of memory "
+            "in memory space hbm. Used 16.88G of 15.75G hbm.")
+
+    dn._jit_cache[x.shape] = boom
+    y = dn._apply(x)
+    assert calls["n"] == 1
+    assert dn._oom_area == x.size
+    assert "falling back" in capsys.readouterr().err
+    # the fallback result matches explicit patch denoising at the chosen
+    # (shrunken) patch size on a fresh instance
+    ref = Denoise("affine").denoise_patches(x, 64, padding=32)
+    assert np.allclose(y, ref)
+    # second call: direct patch route, the poisoned program is gone and
+    # never re-tried
+    dn._jit_cache[x.shape] = boom
+    y2 = dn._apply(x)
+    assert calls["n"] == 1
+    assert np.allclose(y2, ref)
+
+
+def test_non_oom_errors_still_raise(rng):
+    """Only memory errors trigger the patch fallback."""
+    from topaz_tpu.denoise import Denoise
+
+    x = rng.normal(0, 2, (64, 64)).astype(np.float32)
+    dn = Denoise("affine")
+
+    def boom(params, arr):
+        raise RuntimeError("INVALID_ARGUMENT: something else entirely")
+
+    dn._jit_cache[x.shape] = boom
+    import pytest
+
+    with pytest.raises(RuntimeError, match="something else"):
+        dn._apply(x)
+
+
+def test_batch_oom_falls_back_to_per_frame(rng, capsys):
+    """An OOM on the batched movie-frame program degrades to per-frame
+    whole-image denoising."""
+    from topaz_tpu.denoise import Denoise
+
+    frames = rng.normal(0, 2, (3, 64, 64)).astype(np.float32)
+    dn = Denoise("affine")
+
+    def boom(params, arr):
+        raise RuntimeError("RESOURCE_EXHAUSTED: out of memory allocating")
+
+    dn._jit_cache[("fbatch",) + frames.shape] = boom
+    y = dn.denoise_batch(frames)
+    assert "one at a time" in capsys.readouterr().err
+    ref = np.stack([Denoise("affine")._apply(f) for f in frames])
+    assert np.allclose(y, ref)

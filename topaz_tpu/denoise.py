@@ -39,6 +39,17 @@ from topaz_tpu.ops.filters import (
 from topaz_tpu.ops.fourier import lowpass as lowpass_filter
 
 
+def _is_hbm_oom(e: Exception) -> bool:
+    """True when an XLA error is a device out-of-memory (compile- or
+    run-time). Matched on message text because the failure surfaces as a
+    generic ``XlaRuntimeError``/``JaxRuntimeError`` whose type carries no
+    OOM discriminator (observed compile-time form: ``INTERNAL: ... Ran out
+    of memory in memory space hbm. Used 16.88G of 15.75G hbm``)."""
+    msg = str(e)
+    return ("Ran out of memory" in msg or "RESOURCE_EXHAUSTED" in msg
+            or "Out of memory" in msg)
+
+
 class Denoise:
     """2D micrograph denoiser facade (topaz/denoise.py:245-332).
 
@@ -131,9 +142,24 @@ class Denoise:
         y = np.asarray(self._jit_cache[key](jnp.asarray(xp)))
         return y[: x.shape[0]]
 
+    # smallest whole-image pixel count that has run out of device memory
+    # this process; larger images route straight to the patch fallback
+    # instead of provoking the same compile-time OOM again
+    _oom_area = None
+
     def _apply(self, x: np.ndarray) -> np.ndarray:
         """Normalize by the input's own statistics, denoise, un-normalize
-        (topaz/denoise.py:274-296)."""
+        (topaz/denoise.py:274-296).
+
+        Whole-image denoising of very large micrographs can exceed one
+        chip's HBM (measured: a K3-sized 5760x4092 f32 image OOMs 16 GB —
+        the full-resolution 64-channel decoder activations alone are
+        ~6 GB). Rather than surface an opaque XLA allocation error, the
+        OOM is caught and the image falls back to reference-semantics
+        patch denoising (per-patch statistics, reference defaults
+        -s 1024 -p 500; topaz/commands/denoise.py:52-53) with a warning —
+        ``--precision bf16`` halves the activation bytes and keeps K3
+        frames whole-image on 16 GB parts."""
         import jax
         import jax.numpy as jnp
 
@@ -141,6 +167,9 @@ class Denoise:
             y = self._apply_halo(x)
             if y is not None:
                 return y
+            if (self._oom_area is not None and self.dims == 2
+                    and x.size >= self._oom_area):
+                return self._patch_fallback(x)
 
         key = x.shape
         if key not in self._jit_cache:
@@ -156,7 +185,42 @@ class Denoise:
                 return y * std + mu
 
             self._jit_cache[key] = fn
-        return np.asarray(self._jit_cache[key](self.params, jnp.asarray(x)))
+        try:
+            return np.asarray(self._jit_cache[key](self.params,
+                                                   jnp.asarray(x)))
+        except Exception as e:  # noqa: BLE001 — filtered to OOM below
+            if self.dims != 2 or x.ndim != self.dims or not _is_hbm_oom(e):
+                raise
+            self._jit_cache.pop(key, None)
+            self._oom_area = (x.size if self._oom_area is None
+                              else min(self._oom_area, x.size))
+            return self._patch_fallback(x, err=e)
+
+    def _patch_fallback(self, x: np.ndarray, err=None) -> np.ndarray:
+        """Patch-denoise an image too large for whole-image HBM."""
+        patch, padding = 1024, 500
+        # shrink until a padded patch is comfortably under the failed area:
+        # every nested _apply then sees < _oom_area pixels and cannot
+        # re-enter this fallback at the same size (finite recursion)
+        while (self._oom_area is not None
+               and (patch + 2 * padding) ** 2 > self._oom_area // 2
+               and patch > 64):
+            patch //= 2
+            padding = min(padding, patch // 2)
+        if (self._oom_area is not None
+                and (patch + 2 * padding) ** 2 > self._oom_area // 2):
+            if err is not None:
+                raise err
+            raise RuntimeError(
+                f"denoising {x.shape} ran out of device memory and even "
+                f"{patch}px patches exceed the failing footprint; use a "
+                f"device with more memory or --precision bf16")
+        print(f"# WARNING: whole-image denoising of {x.shape} exceeds "
+              f"device memory; falling back to -s {patch} -p {padding} "
+              f"patches (per-patch statistics). --precision bf16 halves "
+              f"activation memory and keeps images this size whole-image "
+              f"on 16 GB chips.", file=sys.stderr)
+        return self.denoise_patches(x, patch, padding=padding)
 
     def denoise_patches(self, x: np.ndarray, patch_size: int,
                         padding: int = 128) -> np.ndarray:
@@ -208,8 +272,20 @@ class Denoise:
             mesh = data_mesh_for(self.devices, frames.shape[0])
             self._jit_cache[key] = jit_sharded_args(fn, mesh,
                                                     ("rep", "data"))
-        return np.asarray(self._jit_cache[key](self.params,
-                                               jnp.asarray(frames)))
+        try:
+            return np.asarray(self._jit_cache[key](self.params,
+                                                   jnp.asarray(frames)))
+        except Exception as e:  # noqa: BLE001 — filtered to OOM below
+            if not _is_hbm_oom(e):
+                raise
+            # a whole frame batch that exceeds HBM degrades to per-frame
+            # whole-image denoising (which itself falls back to patches if
+            # even one frame is too large — see _apply)
+            self._jit_cache.pop(key, None)
+            print(f"# WARNING: batched denoising of {frames.shape} exceeds "
+                  f"device memory; denoising frames one at a time",
+                  file=sys.stderr)
+            return np.stack([self._apply(f) for f in np.asarray(frames)])
 
     def train(self, train_sampler, val_sampler, **kw):
         self.params = train_denoiser(self.meta, self.params, train_sampler,
