@@ -1,0 +1,155 @@
+"""``topaz serve`` HTTP endpoint: request/response contract and parity of
+served picks with the direct pipeline (extension — the reference has no
+serving mode)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server():
+    from topaz_tpu.serve import TopazService, make_server
+
+    service = TopazService(model="resnet8_u32", denoise_model="affine",
+                           scale=1, radius=6, threshold=1.0)
+    srv = make_server(service, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, service
+    srv.shutdown()
+    srv.server_close()
+
+
+def _micrograph_bytes(tmp_path, rng, shape=(128, 128),
+                      peaks=((40, 40), (90, 80))):
+    from topaz_tpu.io import mrc
+
+    x = rng.normal(0, 1, shape).astype(np.float32)
+    yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+    for cy, cx in peaks:
+        x -= 3.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2)
+                          / (2 * 3.0**2)).astype(np.float32)
+    p = tmp_path / "m.mrc"
+    mrc.write(str(p), x)
+    return str(p), p.read_bytes()
+
+
+def _post(url, body, ctype="application/x-mrc"):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_healthz_and_models(server):
+    base, service = server
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok" and h["model"] == "resnet8_u32"
+    with urllib.request.urlopen(base + "/models", timeout=30) as r:
+        m = json.loads(r.read())
+    assert "resnet16_u32" in m["pickers"] and "unet" in m["denoisers"]
+
+
+def test_extract_matches_direct_pipeline(server, tmp_path, rng):
+    base, service = server
+    path, body = _micrograph_bytes(tmp_path, rng)
+    status, ctype, resp = _post(base + "/extract", body)
+    assert status == 200 and ctype == "application/json"
+    out = json.loads(resp)
+    assert out["count"] == len(out["picks"]) >= 1
+    assert out["scale"] == 1
+
+    # served picks == the pipeline run directly on the same file
+    (_, s_ref, c_ref), = service.pipe.process([path])
+    assert out["count"] == len(s_ref)
+    for pick, s, c in zip(out["picks"], np.asarray(s_ref),
+                          np.asarray(c_ref)):
+        assert (pick["x"], pick["y"]) == (int(c[0]), int(c[1]))
+        assert pick["score"] == pytest.approx(float(s), rel=1e-5)
+
+
+def test_extract_threshold_filter_and_floor(server, tmp_path, rng):
+    base, _ = server
+    _, body = _micrograph_bytes(tmp_path, rng)
+    _, _, resp = _post(base + "/extract", body)
+    all_picks = json.loads(resp)["picks"]
+    hi = float(np.median([p["score"] for p in all_picks]))
+    _, _, resp = _post(base + f"/extract?threshold={hi}", body)
+    filtered = json.loads(resp)["picks"]
+    assert 0 < len(filtered) <= len(all_picks)
+    assert all(p["score"] >= hi for p in filtered)
+    # below the server's configured threshold: 400, not silent truncation
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/extract?threshold=-99", body)
+    assert ei.value.code == 400
+    assert "configured" in json.loads(ei.value.read())["error"]
+
+
+def test_denoise_roundtrip(server, tmp_path, rng):
+    from topaz_tpu.io import mrc
+
+    base, service = server
+    path, body = _micrograph_bytes(tmp_path, rng, shape=(64, 64),
+                                   peaks=((30, 30),))
+    status, ctype, resp = _post(base + "/denoise", body)
+    assert status == 200 and ctype == "application/x-mrc"
+    out = tmp_path / "denoised.mrc"
+    out.write_bytes(resp)
+    y = mrc.read(str(out))[0]
+    assert y.shape == (64, 64) and y.dtype == np.float32
+    ref = service.denoise(path)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_bad_requests(server):
+    base, _ = server
+    # unknown route
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(base + "/nope", timeout=30)
+    assert ei.value.code == 404
+    # empty body
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/extract", b"")
+    assert ei.value.code == 400
+    # corrupt MRC: an error response, never a hung/dead server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/extract", b"this is not an mrc file at all")
+    assert ei.value.code in (400, 500)
+    # still alive afterwards
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_request_size_limit(tmp_path, rng):
+    from topaz_tpu.serve import TopazService, make_server
+
+    service = TopazService(model="resnet8_u32", scale=1, radius=6,
+                           threshold=1.0, max_request_bytes=100)
+    srv = make_server(service, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/extract", b"x" * 200)
+        assert ei.value.code == 413
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_serve_cli_registration():
+    """The serve command parses through the real CLI tree."""
+    from topaz_tpu.cli.main import build_parser
+
+    parser = build_parser()
+    args = parser.parse_args(["serve", "--port", "0", "-m", "resnet8_u32",
+                              "-s", "4", "-t", "-5", "--fast"])
+    assert args.port == 0 and args.scale == 4 and args.fast

@@ -29,6 +29,7 @@ def _command_modules():
         preprocess,
         scale_coordinates,
         segment,
+        serve,
         split,
         star_particles_threshold,
         star_to_coordinates,
@@ -39,7 +40,7 @@ def _command_modules():
 
     return [
         ("Particle picking", [train, segment, extract, precision_recall_curve]),
-        ("Streaming", [watch]),
+        ("Streaming", [watch, serve]),
         ("Image processing", [downsample, normalize, preprocess, denoise, denoise3d]),
         ("File utilities", [convert, split, particle_stack, train_test_split]),
         ("GUI", [gui]),
