@@ -189,7 +189,10 @@ def bench_compute(rng, fast: bool = False, quality_ref=None):
 
 
 TRAIN_BATCH = 256
-TRAIN_ITERS = 20
+# steady-state window: at ~2 ms/step the first few dispatches are still
+# filling the async queue over the tunnel; 20 iters under-reported the
+# sustained rate by ~35% (measured 108k@20 vs 143k@50 crops/s)
+TRAIN_ITERS = 60
 
 
 def bench_train(rng) -> float:

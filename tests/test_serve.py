@@ -24,6 +24,7 @@ def server():
     yield base, service
     srv.shutdown()
     srv.server_close()
+    service.close()
 
 
 def _micrograph_bytes(tmp_path, rng, shape=(128, 128),
@@ -143,6 +144,110 @@ def test_request_size_limit(tmp_path, rng):
     finally:
         srv.shutdown()
         srv.server_close()
+        service.close()
+
+
+def test_dynamic_batching_coalesces_concurrent_requests(tmp_path, rng):
+    """Concurrent /extract requests run as ONE batched device program
+    (mixed micrograph sizes included, via shape bucketing) and every
+    client still gets exactly its own picks."""
+    from topaz_tpu.serve import TopazService, make_server
+
+    # a 10 s window makes the coalescing deterministic: the worker holds
+    # the first request until all three are queued (or the batch fills)
+    service = TopazService(model="resnet8_u32", scale=1, radius=6,
+                           threshold=1.0, max_batch=3,
+                           batch_window_ms=10_000)
+    srv = make_server(service, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        peaks = [((30, 40),), ((80, 30), (40, 90)), ((60, 60),)]
+        shapes = [(128, 128), (128, 128), (160, 128)]  # two buckets
+        bodies = []
+        for i, (s, p) in enumerate(zip(shapes, peaks)):
+            d = tmp_path / f"m{i}"
+            d.mkdir(exist_ok=True)
+            bodies.append(_micrograph_bytes(d, rng, shape=s, peaks=p)[1])
+
+        results = [None] * 3
+
+        def hit(i):
+            _, _, resp = _post(base + "/extract", bodies[i])
+            results[i] = json.loads(resp)
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(r is not None for r in results)
+        # each client got picks near its OWN planted peaks
+        for r, pk in zip(results, peaks):
+            assert r["count"] >= len(pk)
+            got = {(p["x"], p["y"]) for p in r["picks"]}
+            for cy, cx in pk:
+                assert any(abs(x - cx) <= 3 and abs(y - cy) <= 3
+                           for x, y in got), (pk, got)
+        # and the device really coalesced: 3 requests, <= 2 batches (one
+        # per shape bucket at most), largest batch > 1
+        assert service.n_extracted == 3
+        assert service.n_batches <= 2
+        assert service.max_batch_seen >= 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        service.close()
+
+
+def test_corrupt_batchmate_fails_alone(tmp_path, rng):
+    """A corrupt upload coalesced into a batch 400s by itself; the good
+    request in the same batch succeeds."""
+    from topaz_tpu.serve import TopazService, make_server
+
+    service = TopazService(model="resnet8_u32", scale=1, radius=6,
+                           threshold=1.0, max_batch=2,
+                           batch_window_ms=10_000)
+    srv = make_server(service, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        _, good = _micrograph_bytes(tmp_path, rng)
+        outcome = {}
+
+        def hit(name, body):
+            try:
+                _, _, resp = _post(base + "/extract", body)
+                outcome[name] = ("ok", json.loads(resp))
+            except urllib.error.HTTPError as e:
+                outcome[name] = ("err", e.code)
+
+        threads = [threading.Thread(target=hit, args=("good", good)),
+                   threading.Thread(target=hit,
+                                    args=("bad", b"not an mrc at all"))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert outcome["good"][0] == "ok"
+        assert outcome["good"][1]["count"] >= 1
+        assert outcome["bad"] == ("err", 400)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        service.close()
+
+
+def test_queue_backpressure_503(tmp_path, rng):
+    """Requests beyond --queue-depth get 503, not an unbounded queue."""
+    from topaz_tpu.serve import TopazService, _Busy, _Job
+
+    service = TopazService(model="resnet8_u32", scale=1, radius=6,
+                           threshold=1.0, queue_depth=1)
+    service.close()  # stop the worker so the queue can't drain
+    service._queue.put(_Job("extract", "placeholder"))
+    with pytest.raises(_Busy):
+        service._submit(_Job("extract", "x"))
 
 
 def test_serve_cli_registration():

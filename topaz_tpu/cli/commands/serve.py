@@ -49,6 +49,17 @@ def add_arguments(parser=None):
     parser.add_argument("--max-request-bytes", type=int, default=2 << 30,
                         help="reject request bodies larger than this "
                              "(default: 2 GiB)")
+    parser.add_argument("--max-batch", type=int, default=8,
+                        help="dynamic batching: coalesce up to this many "
+                             "concurrent /extract requests into one device "
+                             "batch (1 disables; default: 8)")
+    parser.add_argument("--batch-window-ms", type=float, default=20.0,
+                        help="how long the device worker waits for more "
+                             "requests after the first before running a "
+                             "partial batch (default: 20 ms)")
+    parser.add_argument("--queue-depth", type=int, default=64,
+                        help="requests queued for the device beyond this "
+                             "get 503 (backpressure; default: 64)")
     parser.add_argument("-d", "--device", default=0, type=int,
                         help="compute device (default: 0)")
     from topaz_tpu.cli.fast import add_fast_flag
