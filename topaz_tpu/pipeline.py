@@ -80,6 +80,10 @@ class MicrographPipeline:
         # extension; the reference crashes on the first bad file). Default
         # off = reference-faithful fail-fast.
         self.skip_errors = bool(skip_errors)
+        # transient device failures (dropped transport, briefly-held device
+        # grant) are retried with backoff before surfacing; program errors
+        # and OOM are never retried (utils/retry.py)
+        self.retries = 1
         self.spec, self.params, self.state = load_picker(model)
         self.denoiser = None
         # dtype='bf16': the fast profile's denoise arm (params +
@@ -391,26 +395,34 @@ class MicrographPipeline:
                                        maxsize=max(1, prefetch)):
             bucket, chunk, n_real, payload, valid = item
             fn = self._fn_for(bucket)
-            with stage(f"pipeline/batch{bucket}"):
-                if isinstance(payload, list):  # raws; downsample on device
-                    smalls = [
-                        self._prep_for(r.shape, bucket)(jnp.asarray(r))
-                        for r in payload
-                    ]
-                    arr = jnp.stack(smalls)
-                else:
-                    arr = jnp.asarray(payload)
-                out = fn(arr, jnp.asarray(valid))
-                # timing policy: dispatch is async, so the stage block
-                # alone measures only Python dispatch; when timings or a
-                # profile are requested, block on the outputs here so the
-                # per-batch number includes device compute
-                sync_for_timing(out)
-            scores = np.asarray(out[0])
-            coords = np.asarray(out[1])
-            counts = np.asarray(out[2])
-            degen = np.asarray(out[3])
-            dens = np.asarray(out[4]) if len(out) > 4 else None
+
+            def dispatch_and_fetch():
+                with stage(f"pipeline/batch{bucket}"):
+                    if isinstance(payload, list):  # raws; device downsample
+                        smalls = [
+                            self._prep_for(r.shape, bucket)(jnp.asarray(r))
+                            for r in payload
+                        ]
+                        arr = jnp.stack(smalls)
+                    else:
+                        arr = jnp.asarray(payload)
+                    out = fn(arr, jnp.asarray(valid))
+                    # timing policy: dispatch is async, so the stage block
+                    # alone measures only Python dispatch; when timings or
+                    # a profile are requested, block on the outputs here so
+                    # the per-batch number includes device compute
+                    sync_for_timing(out)
+                # fetch inside the retried scope: a dropped transport can
+                # surface at the copy-out, not the dispatch
+                return (np.asarray(out[0]), np.asarray(out[1]),
+                        np.asarray(out[2]), np.asarray(out[3]),
+                        np.asarray(out[4]) if len(out) > 4 else None)
+
+            from topaz_tpu.utils.retry import retry_transient
+
+            scores, coords, counts, degen, dens = retry_transient(
+                dispatch_and_fetch, retries=self.retries,
+                what=f"pipeline batch {bucket}")
             for i, (path, _raw_shape) in enumerate(chunk):
                 if degen[i]:
                     warnings.warn(

@@ -121,6 +121,13 @@ class DirectoryWatcher:
     def mark_done(self, path: str) -> None:
         self.done[path] = self._offered.pop(path, -1)
 
+    def requeue(self, paths: Sequence[str]) -> None:
+        """Forget that these files were offered so a later scan re-offers
+        them — used after a transient device failure so an interrupted
+        batch is retried on the next poll instead of being lost."""
+        for p in paths:
+            self._offered.pop(p, None)
+
     def save_manifest(self) -> None:
         if not self.manifest_path:
             return
@@ -221,6 +228,43 @@ def watch_directory(
                   flush=True)
 
     n_processed = 0
+
+    def _process_ready(ready):
+        nonlocal n_processed
+        for result in pipe.process(ready, batch_size=batch_size):
+            path, scores, coords = result[:3]
+            name, in_ext = os.path.splitext(os.path.basename(path))
+            if up_scale != 1:
+                coords = np.round(
+                    np.asarray(coords) * up_scale).astype(int)
+            if per_micrograph:
+                import pandas as pd
+
+                from topaz_tpu.io import coordinates as file_utils
+
+                table = pd.DataFrame(
+                    {"image_name": name,
+                     "x_coord": np.asarray(coords)[:, 0],
+                     "y_coord": np.asarray(coords)[:, 1],
+                     "score": np.asarray(scores)})
+                out_path = os.path.join(
+                    out_dir, name + suffix + "." + out_format)
+                with open(out_path, "w") as pf:
+                    file_utils.write_table(pf, table,
+                                           format=out_format,
+                                           image_ext=in_ext)
+            else:
+                for i in range(len(scores)):
+                    print(f"{name}\t{coords[i, 0]}\t{coords[i, 1]}"
+                          f"\t{scores[i]}", file=out_f)
+            if len(result) > 3 and denoised_dir is not None:
+                write_mrc(
+                    os.path.join(denoised_dir, name + ".mrc"),
+                    np.asarray(result[3], dtype=np.float32))
+            watcher.mark_done(path)
+            n_processed += 1
+            report(f"watch: {name}: {len(scores)} picks")
+
     last_activity = time.monotonic()
     polls_done = 0
     try:
@@ -232,45 +276,29 @@ def watch_directory(
             if ready:
                 last_activity = time.monotonic()
                 report(f"watch: {len(ready)} new micrograph(s)")
-                for result in pipe.process(ready, batch_size=batch_size):
-                    path, scores, coords = result[:3]
-                    name, in_ext = os.path.splitext(os.path.basename(path))
-                    if up_scale != 1:
-                        coords = np.round(
-                            np.asarray(coords) * up_scale).astype(int)
-                    if per_micrograph:
-                        import pandas as pd
+                try:
+                    _process_ready(ready)
+                except Exception as e:  # noqa: BLE001 — transient-filtered
+                    from topaz_tpu.utils.retry import (
+                        is_transient_device_error)
 
-                        from topaz_tpu.io import coordinates as file_utils
-
-                        table = pd.DataFrame(
-                            {"image_name": name,
-                             "x_coord": np.asarray(coords)[:, 0],
-                             "y_coord": np.asarray(coords)[:, 1],
-                             "score": np.asarray(scores)})
-                        out_path = os.path.join(
-                            out_dir, name + suffix + "." + out_format)
-                        with open(out_path, "w") as pf:
-                            file_utils.write_table(pf, table,
-                                                   format=out_format,
-                                                   image_ext=in_ext)
-                    else:
-                        for i in range(len(scores)):
-                            print(f"{name}\t{coords[i, 0]}\t{coords[i, 1]}"
-                                  f"\t{scores[i]}", file=out_f)
-                    if len(result) > 3 and denoised_dir is not None:
-                        write_mrc(
-                            os.path.join(denoised_dir, name + ".mrc"),
-                            np.asarray(result[3], dtype=np.float32))
-                    watcher.mark_done(path)
-                    n_processed += 1
-                    report(f"watch: {name}: {len(scores)} picks")
-                # files the pipeline skipped (corrupt, --skip-errors) are
-                # recorded as done at their offered size so they are not
-                # retried every poll
-                for p in ready:
-                    if p not in watcher.done:
-                        watcher.mark_done(p)
+                    if not is_transient_device_error(e):
+                        raise
+                    # outlasted the pipeline's own in-process retry:
+                    # requeue what this poll didn't finish and keep
+                    # watching — the next scan re-offers those files
+                    lost = [p for p in ready if p not in watcher.done]
+                    watcher.requeue(lost)
+                    report(f"watch: transient device failure "
+                           f"({type(e).__name__}: {e}); {len(lost)} "
+                           f"micrograph(s) requeued for the next poll")
+                else:
+                    # files the pipeline skipped (corrupt, --skip-errors)
+                    # are recorded as done at their offered size so they
+                    # are not retried every poll
+                    for p in ready:
+                        if p not in watcher.done:
+                            watcher.mark_done(p)
                 if out_f is not None:
                     out_f.flush()
                 watcher.save_manifest()
