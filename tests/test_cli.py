@@ -361,3 +361,13 @@ def test_cli_fast_profile(tmp_path, rng):
     c = _types.SimpleNamespace(fast=False, precision="f32", bins=0)
     apply_fast(c)
     assert c.precision == "f32" and c.bins == 0
+    # denoise3d: --fast turns on the cost-optimal patch grid, but only
+    # when the user left -s at the reference default of 96
+    d = _types.SimpleNamespace(fast=True, precision="f32", bins=0,
+                               auto_patch=False, patch_size=96)
+    apply_fast(d)
+    assert d.auto_patch
+    e = _types.SimpleNamespace(fast=True, precision="f32", bins=0,
+                               auto_patch=False, patch_size=128)
+    apply_fast(e)
+    assert not e.auto_patch  # explicit -s 128 wins over --fast

@@ -9,7 +9,13 @@ extras; ROADMAP "fast profile"):
     4096^2 with ~0.4% relative error on the denoised image),
   * histogram-EM normalization (``--bins 65536``) where the command fits
     the intensity GMM (full-pixel histogram EM, ~5x faster at 4k full
-    resolution; error is value quantization to the bin width only).
+    resolution; error is value quantization to the bin width only),
+  * ``--auto-patch`` on denoise3d: the cost-optimal patch size for each
+    tomogram's dimensions instead of the reference's fixed -s 96 (whose
+    +-48 padding is an 8x overlap tax; measured 2.5x on a 192x384x384
+    volume, profiles/PROFILE.md). Same padding, so the seam-apron
+    quality knob is untouched; only the patch grid (and hence each
+    patch's normalization statistics) differs from the reference layout.
 
 Defaults stay exact/f32 everywhere for bit-level parity with the torch
 reference (reference defaults anchor: topaz/commands/denoise.py:52-53).
@@ -40,3 +46,8 @@ def apply_fast(args) -> None:
         args.precision = "bf16"
     if getattr(args, "bins", None) == 0:
         args.bins = FAST_BINS
+    # denoise3d only: cost-optimal patch grid unless the user chose a
+    # patch size themselves (-s away from the reference default of 96)
+    if hasattr(args, "auto_patch") and not args.auto_patch \
+            and getattr(args, "patch_size", None) == 96:
+        args.auto_patch = True
