@@ -58,6 +58,24 @@ def test_healthz_and_models(server):
     assert "resnet16_u32" in m["pickers"] and "unet" in m["denoisers"]
 
 
+def test_metrics_prometheus_exposition(server, tmp_path, rng):
+    """GET /metrics serves Prometheus text format whose counters track
+    served requests."""
+    base, service = server
+    _, body = _micrograph_bytes(tmp_path, rng)
+    _post(base + "/extract", body)
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        assert r.headers.get("Content-Type", "").startswith("text/plain")
+        text = r.read().decode()
+    lines = text.strip().splitlines()
+    assert "# TYPE topaz_extract_requests_total counter" in lines
+    sample = {l.split()[0]: float(l.split()[1]) for l in lines
+              if l and not l.startswith("#")}
+    assert sample["topaz_extract_requests_total"] == service.n_extracted >= 1
+    assert sample["topaz_queue_capacity"] == service.queue_depth
+    assert sample["topaz_uptime_seconds"] > 0
+
+
 def test_extract_matches_direct_pipeline(server, tmp_path, rng):
     base, service = server
     path, body = _micrograph_bytes(tmp_path, rng)

@@ -244,3 +244,65 @@ def test_watch_fast_flag_resolves(tmp_path):
     apply_fast(args)
     assert args.precision == "bf16"
     assert args.bins == 65536
+
+
+def test_sigterm_shuts_down_watch_cleanly(tmp_path, rng):
+    """SIGTERM (the systemd/k8s stop signal) takes the same orderly
+    shutdown path as ^C: watch returns normally with the manifest saved,
+    and the previous SIGTERM disposition is restored afterwards."""
+    import signal
+
+    from topaz_tpu.watch import watch_directory
+
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_micrograph(d / "mic0.mrc", rng)
+    out = str(tmp_path / "picks.txt")
+
+    polls = {"n": 0}
+
+    def hook():
+        polls["n"] += 1
+        if polls["n"] > 4:  # backlog processed on poll 2; then stop
+            os.kill(os.getpid(), signal.SIGTERM)
+        return True
+
+    before = signal.getsignal(signal.SIGTERM)
+    n = watch_directory(str(d), out, model="resnet8_u32", scale=1,
+                        radius=6, threshold=1.0, poll_interval=0.01,
+                        _poll_hook=hook)
+    assert n == 1  # processed, then interrupted without dying
+    assert signal.getsignal(signal.SIGTERM) is before
+    manifest = json.load(open(out + ".manifest.json"))
+    assert str(d / "mic0.mrc") in manifest["processed"]
+
+
+def test_sigterm_as_interrupt_unit():
+    """The context manager converts SIGTERM to KeyboardInterrupt in the
+    main thread and is a no-op elsewhere."""
+    import signal
+    import threading
+
+    from topaz_tpu.utils.signals import sigterm_as_interrupt
+
+    import pytest
+
+    with pytest.raises(KeyboardInterrupt):
+        with sigterm_as_interrupt():
+            os.kill(os.getpid(), signal.SIGTERM)
+            signal.sigtimedwait  # noqa: B018 — any bytecode delivers it
+
+    # non-main thread: degrades to a no-op instead of ValueError
+    errs = []
+
+    def body():
+        try:
+            with sigterm_as_interrupt():
+                pass
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t = threading.Thread(target=body)
+    t.start()
+    t.join()
+    assert errs == []

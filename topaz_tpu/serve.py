@@ -11,6 +11,8 @@ given shape bucket.
 Protocol (stdlib-only on both ends):
 
   GET  /healthz   liveness + configuration
+  GET  /metrics   Prometheus text exposition (counters/gauges for
+                  scrapers; same numbers as /healthz)
   GET  /models    bundled picker / denoiser names
   POST /extract   body = one micrograph file (MRC/TIFF/PNG — anything
                   io.image.load_image reads); response JSON
@@ -276,6 +278,33 @@ class TopazService:
             "largest_batch": self.max_batch_seen,
         }
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition format (stdlib-only scrape target
+        for facility monitoring; one gauge/counter per /healthz number)."""
+        lines = []
+
+        def emit(name, kind, help_, value):
+            lines.append(f"# HELP topaz_{name} {help_}")
+            lines.append(f"# TYPE topaz_{name} {kind}")
+            lines.append(f"topaz_{name} {value}")
+
+        emit("uptime_seconds", "gauge", "seconds since the server started",
+             round(time.time() - self.started, 3))
+        emit("extract_requests_total", "counter",
+             "micrographs served through /extract", self.n_extracted)
+        emit("denoise_requests_total", "counter",
+             "micrographs served through /denoise", self.n_denoised)
+        emit("device_batches_total", "counter",
+             "device programs run for /extract (dynamic batching)",
+             self.n_batches)
+        emit("largest_batch", "gauge",
+             "largest coalesced /extract batch so far", self.max_batch_seen)
+        emit("queue_depth", "gauge", "requests queued for the device",
+             self._queue.qsize())
+        emit("queue_capacity", "gauge",
+             "queue depth at which requests get 503", self.queue_depth)
+        return "\n".join(lines) + "\n"
+
 
 def _models_listing() -> dict:
     from topaz_tpu.models.factory import PRETRAINED_PICKERS
@@ -331,9 +360,18 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send_json(200, self.service.health())
         if route == "/models":
             return self._send_json(200, _models_listing())
+        if route == "/metrics":
+            body = self.service.metrics_text().encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return None
         return self._send_json(404, {"error": f"unknown route {route}; "
-                                     f"routes: /healthz /models /extract "
-                                     f"/denoise"})
+                                     f"routes: /healthz /metrics /models "
+                                     f"/extract /denoise"})
 
     def do_POST(self):
         url = urlparse(self.path)
@@ -429,8 +467,13 @@ def serve_from_args(args) -> int:
            f"(model {args.model}, scale {args.scale}, threshold "
            f"{args.threshold}, dynamic batching <= {service.max_batch}); "
            f"POST micrographs to /extract or /denoise")
+    from topaz_tpu.utils.signals import sigterm_as_interrupt
+
     try:
-        server.serve_forever()
+        # SIGTERM (systemd/k8s stop) shares the ^C shutdown path: close
+        # the listener, drain the device worker
+        with sigterm_as_interrupt():
+            server.serve_forever()
     except KeyboardInterrupt:
         report("serve: interrupted — shutting down")
     finally:

@@ -267,6 +267,12 @@ def watch_directory(
 
     last_activity = time.monotonic()
     polls_done = 0
+    # under systemd/k8s the stop path is SIGTERM; route it through the
+    # same orderly shutdown as ^C (manifest saved, output flushed)
+    from topaz_tpu.utils.signals import sigterm_as_interrupt
+
+    _sigctx = sigterm_as_interrupt()
+    _sigctx.__enter__()
     try:
         while True:
             if _poll_hook is not None and _poll_hook() is False:
@@ -317,6 +323,7 @@ def watch_directory(
     except KeyboardInterrupt:
         report("watch: interrupted — manifest saved, safe to restart")
     finally:
+        _sigctx.__exit__(None, None, None)
         if out_f is not None:
             out_f.close()
         watcher.save_manifest()
