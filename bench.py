@@ -185,7 +185,18 @@ def bench_compute(rng, fast: bool = False, quality_ref=None):
             "denoise_rel_err": float(
                 np.linalg.norm(den - den_ref) / np.linalg.norm(den_ref)),
         }
-    return tput, (picks, den), quality
+    return tput, (picks, den), quality, extract
+
+
+def bench_extract_only(extract, raw) -> float:
+    """Picking-only throughput (no denoise): the workload of `topaz
+    extract` on preprocessed data — downsample + GMM normalize + dense
+    score + NMS per 4k micrograph, already compiled by bench_compute."""
+    t0 = time.time()
+    outs = [extract(raw) for _ in range(N_ITERS * 4)]
+    for scores, coords, count in outs:
+        _ = np.asarray(coords)
+    return N_ITERS * 4 / (time.time() - t0)
 
 
 TRAIN_BATCH = 256
@@ -283,7 +294,7 @@ def bench_pipeline(rng) -> float:
               f"{time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
         best = 0.0
-        for rep in range(2):  # best-of-2: the tunnel has large variance
+        for rep in range(3):  # best-of-3: the tunnel has large variance
             t0 = time.time()
             n_done = 0
             n_picks = 0
@@ -306,8 +317,12 @@ def main():
     _wait_for_device()
     rng = np.random.default_rng(0)
 
-    compute_tput, f32_outputs, _ = bench_compute(rng)
-    fast_tput, _, fast_quality = bench_compute(
+    compute_tput, f32_outputs, _, extract_f32 = bench_compute(rng)
+    raw4k = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (4096, 4096))
+        .astype(np.float32))
+    extract_tput = bench_extract_only(extract_f32, raw4k)
+    fast_tput, _, fast_quality, _ = bench_compute(
         np.random.default_rng(0), fast=True, quality_ref=f32_outputs)
     pipeline_tput = bench_pipeline(rng)
     train_tput = bench_train(rng)
@@ -340,6 +355,11 @@ def main():
                 "profile: histogram-EM normalization (bins=65536) + bf16 "
                 "denoise; scoring/NMS stay f32"),
             "fast_profile_quality_delta": fast_quality,
+            "extract_only_mic_per_sec": round(extract_tput, 4),
+            "extract_only_workload": (
+                "picking without the denoise arm (topaz extract on raw "
+                "4k: device 8x Fourier crop + GMM normalize + dense "
+                "resnet8_u32 score + NMS), f32"),
             "pipeline_end_to_end_mic_per_sec": round(pipeline_tput, 4),
             "pipeline_workload": (
                 f"{N_PIPELINE_FILES} distinct on-disk 4k MRCs -> threaded "
