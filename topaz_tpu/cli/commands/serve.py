@@ -60,6 +60,11 @@ def add_arguments(parser=None):
     parser.add_argument("--queue-depth", type=int, default=64,
                         help="requests queued for the device beyond this "
                              "get 503 (backpressure; default: 64)")
+    parser.add_argument("--device-timeout", type=float, default=300.0,
+                        help="per-request device deadline in seconds: "
+                             "requests unanswered by then get 504, and a "
+                             "worker wedged mid-call is replaced so later "
+                             "requests recover (0 disables; default: 300)")
     parser.add_argument("-d", "--device", default=0, type=int,
                         help="compute device (default: 0)")
     from topaz_tpu.cli.fast import add_fast_flag

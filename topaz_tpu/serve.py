@@ -34,14 +34,25 @@ Protocol (stdlib-only on both ends):
 Device work runs on one dedicated worker thread (one exclusive chip);
 HTTP I/O and file parsing run in per-request threads
 (ThreadingHTTPServer), so request ingestion overlaps device compute
-under load. Concurrent /extract requests are **dynamically batched**:
-the worker collects up to ``--max-batch`` queued requests (waiting at
-most ``--batch-window-ms`` after the first) and runs them through the
-batched pipeline as ONE device program — mixed micrograph sizes are
-handled by the pipeline's shape bucketing, and an unreadable file fails
-only its own request, never its batchmates. Under concurrent load this
-recovers the batched pipeline's throughput (~1.4x the serial rate at
-batch 8 on one v5e chip) instead of serializing batch-1 programs.
+under load. Concurrent requests are **dynamically batched**: the worker
+collects up to ``--max-batch`` queued requests of the same kind (waiting
+at most ``--batch-window-ms`` after the first) and runs them as ONE
+device program — /extract through the batched pipeline (mixed micrograph
+sizes handled by shape bucketing), /denoise through
+``Denoise.denoise_batch`` for same-shape frames. An unreadable file
+fails only its own request, never its batchmates. Under concurrent load
+this recovers the batched pipeline's throughput (~1.4x the serial rate
+at batch 8 on one v5e chip) instead of serializing batch-1 programs.
+
+Every job carries a deadline (``--device-timeout``): if the device has
+not answered in time the waiting request gets 504 instead of queueing
+forever, and — when the worker was actually *executing* that job (a
+wedged compile/transfer, the documented failure mode of remote-attached
+chips) — the worker thread is abandoned and replaced, so the NEXT
+request is served by a fresh worker rather than waiting behind the
+wedge. /metrics counts ``device_timeouts_total`` and
+``worker_restarts_total``; /healthz reports any abandoned worker threads
+still alive.
 """
 
 from __future__ import annotations
@@ -72,9 +83,12 @@ _CONTENT_SUFFIX = {
 
 
 class _Job:
-    """One queued device request; the HTTP thread blocks on ``done``."""
+    """One queued device request; the HTTP thread blocks on ``done``.
+    ``abandoned`` is set by the submitter when its deadline expires: a
+    worker that dequeues (or eventually finishes) an abandoned job
+    discards it — nobody is waiting for the answer anymore."""
 
-    __slots__ = ("kind", "path", "done", "result", "error")
+    __slots__ = ("kind", "path", "done", "result", "error", "abandoned")
 
     def __init__(self, kind: str, path: str):
         self.kind = kind
@@ -82,12 +96,19 @@ class _Job:
         self.done = threading.Event()
         self.result = None
         self.error: Optional[Exception] = None
+        self.abandoned = False
 
 
 class _Busy(Exception):
     def __init__(self, depth):
         super().__init__(f"server is saturated ({depth} requests queued "
                          f"for the device); retry with backoff")
+
+
+class _Timeout(Exception):
+    def __init__(self, seconds):
+        super().__init__(f"device did not answer within --device-timeout "
+                         f"{seconds:g}s; the request was abandoned")
 
 
 _SHUTDOWN = object()
@@ -108,7 +129,7 @@ class TopazService:
                  precision=None, bins: int = 0, dtype=None,
                  max_request_bytes: int = 2 << 30,
                  max_batch: int = 8, batch_window_ms: float = 20.0,
-                 queue_depth: int = 64):
+                 queue_depth: int = 64, device_timeout: float = 300.0):
         from topaz_tpu.pipeline import MicrographPipeline
 
         self.model = model
@@ -129,26 +150,38 @@ class TopazService:
         self._denoiser = None
         self._dtype = dtype
         self.started = time.time()
+        self.device_timeout = max(0.0, float(device_timeout))
         self.n_extracted = 0
         self.n_denoised = 0
         self.n_batches = 0
         self.max_batch_seen = 0
+        self.n_denoise_batches = 0
+        self.max_denoise_batch_seen = 0
+        self.n_timeouts = 0
+        self.n_worker_restarts = 0
+        self._lock = threading.Lock()  # guards queue swap + submit
+        self._current = None  # the batch the worker is executing right now
+        self._abandoned_workers: list = []  # replaced threads, maybe wedged
         self._queue: "queue.Queue" = queue.Queue()
         self._worker = threading.Thread(target=self._device_loop,
+                                        args=(self._queue,),
                                         name="topaz-serve-device",
                                         daemon=True)
         self._worker.start()
 
     # -- device worker -------------------------------------------------------
-    def _device_loop(self):
+    def _device_loop(self, q: "queue.Queue"):
+        """Owns the queue it was started with: after a watchdog replacement
+        the old (possibly wedged) thread keeps polling the OLD queue —
+        which only ever receives a _SHUTDOWN — and can never race the new
+        worker for jobs."""
         pending = None
         while True:
-            job = pending if pending is not None else self._queue.get()
+            job = pending if pending is not None else q.get()
             pending = None
             if job is _SHUTDOWN:
                 return
-            if job.kind != "extract":
-                self._run_denoise(job)
+            if job.abandoned:
                 continue
             batch = [job]
             deadline = time.monotonic() + self.batch_window
@@ -157,14 +190,21 @@ class TopazService:
                 if left <= 0:
                     break
                 try:
-                    nxt = self._queue.get(timeout=left)
+                    nxt = q.get(timeout=left)
                 except queue.Empty:
                     break
-                if nxt is _SHUTDOWN or nxt.kind != "extract":
+                if nxt is _SHUTDOWN or nxt.kind != job.kind:
                     pending = nxt  # run the batch first, then this
                     break
+                if nxt.abandoned:
+                    continue
                 batch.append(nxt)
-            self._run_extract_batch(batch)
+            self._current = batch
+            if job.kind == "extract":
+                self._run_extract_batch(batch)
+            else:
+                self._run_denoise_batch(batch)
+            self._current = None
             if pending is _SHUTDOWN:
                 return
 
@@ -192,31 +232,107 @@ class TopazService:
                     "MRC/TIFF/PNG/JPEG)")
             j.done.set()
 
-    def _run_denoise(self, job):
-        try:
-            from topaz_tpu.io.image import load_image
+    def _run_denoise_batch(self, batch):
+        """Whole-image denoising — one conv program instead of the
+        reference's ~16 padded 1024px patches per 4k frame (-s 1024
+        -p 500, topaz/commands/denoise.py:52-53), ~5x faster per request;
+        frames too large for HBM degrade to patch mode automatically
+        (Denoise._patch_fallback). Same-shape concurrent requests run as
+        one batched program (Denoise.denoise_batch, per-frame statistics
+        — identical math to the single-frame path)."""
+        from topaz_tpu.io.image import load_image
 
-            x = np.asarray(load_image(job.path), dtype=np.float32)
-            # whole-image denoising: one conv program instead of the
-            # reference's ~16 padded 1024px patches per 4k frame (-s 1024
-            # -p 500, topaz/commands/denoise.py:52-53) — ~5x faster per
-            # request; frames too large for HBM degrade to patch mode
-            # automatically (Denoise._patch_fallback)
-            job.result = np.asarray(
-                self._get_denoiser().denoise(x, patch_size=0),
-                dtype=np.float32)
-        except Exception as e:  # noqa: BLE001 — delivered per-request
-            job.error = e
-        job.done.set()
+        groups: dict = {}
+        for j in batch:
+            try:
+                x = np.asarray(load_image(j.path), dtype=np.float32)
+            except Exception as e:  # noqa: BLE001 — delivered per-request
+                j.error = e
+                j.done.set()
+                continue
+            key = x.shape if x.ndim == 2 else None  # stacks stay singleton
+            groups.setdefault(key, []).append((j, x))
+        for shape, items in groups.items():
+            try:
+                if shape is not None and len(items) > 1:
+                    ys = self._get_denoiser().denoise_batch(
+                        np.stack([x for _, x in items]))
+                    self.n_denoise_batches += 1
+                    self.max_denoise_batch_seen = max(
+                        self.max_denoise_batch_seen, len(items))
+                    for (j, _), y in zip(items, ys):
+                        j.result = np.asarray(y, dtype=np.float32)
+                        j.done.set()
+                else:
+                    for j, x in items:
+                        j.result = np.asarray(
+                            self._get_denoiser().denoise(x, patch_size=0),
+                            dtype=np.float32)
+                        j.done.set()
+            except Exception as e:  # noqa: BLE001 — delivered per-request
+                for j, _ in items:
+                    if not j.done.is_set():
+                        j.error = e
+                        j.done.set()
 
     def _submit(self, job: _Job):
-        if self._queue.qsize() >= self.queue_depth:
-            raise _Busy(self._queue.qsize())
-        self._queue.put(job)
-        job.done.wait()
-        if job.error is not None:
-            raise job.error
-        return job.result
+        with self._lock:
+            q = self._queue
+            if q.qsize() >= self.queue_depth:
+                raise _Busy(q.qsize())
+            q.put(job)
+        if job.done.wait(self.device_timeout or None):
+            if job.error is not None:
+                raise job.error
+            return job.result
+        # deadline expired: abandon the job (504) and, if the worker was
+        # actually executing it (wedged device call), replace the worker
+        job.abandoned = True
+        self.n_timeouts += 1
+        self._watchdog(job)
+        raise _Timeout(self.device_timeout)
+
+    def _watchdog(self, job: _Job):
+        """Called when ``job`` missed its deadline. If the device worker
+        was mid-execution on it, the worker thread is wedged inside a
+        device call (Python threads cannot be killed): abandon it — it
+        keeps its old queue, which only ever receives a _SHUTDOWN — move
+        any still-pending jobs to a fresh queue, and start a fresh worker
+        so subsequent requests are not stuck behind the wedge."""
+        with self._lock:
+            current = self._current
+            if job.done.is_set():  # finished in the race window after wait
+                return
+            if not (current is not None and job in current
+                    and self._worker.is_alive()):
+                return  # just queue congestion; the worker is healthy
+            old_q, new_q = self._queue, queue.Queue()
+            try:
+                while True:
+                    item = old_q.get_nowait()
+                    if item is not _SHUTDOWN:
+                        new_q.put(item)
+            except queue.Empty:
+                pass
+            old_q.put(_SHUTDOWN)  # exit signal for when/if it unwedges
+            self._abandoned_workers.append(self._worker)
+            self._queue = new_q
+            self.n_worker_restarts += 1
+            self._current = None
+            self._worker = threading.Thread(
+                target=self._device_loop, args=(new_q,),
+                name=f"topaz-serve-device-{self.n_worker_restarts}",
+                daemon=True)
+            self._worker.start()
+            report(f"serve: device call exceeded --device-timeout "
+                   f"{self.device_timeout:g}s; worker replaced "
+                   f"(restart #{self.n_worker_restarts})")
+
+    def _suspect_workers(self) -> int:
+        """Abandoned worker threads that are still alive (wedged)."""
+        self._abandoned_workers = [t for t in self._abandoned_workers
+                                   if t.is_alive()]
+        return len(self._abandoned_workers)
 
     def close(self):
         """Stop the device worker (idempotent)."""
@@ -276,6 +392,13 @@ class TopazService:
             "max_batch": self.max_batch,
             "device_batches": self.n_batches,
             "largest_batch": self.max_batch_seen,
+            "denoise_batches": self.n_denoise_batches,
+            "largest_denoise_batch": self.max_denoise_batch_seen,
+            "device_timeout_s": self.device_timeout,
+            "device_timeouts": self.n_timeouts,
+            "worker_restarts": self.n_worker_restarts,
+            "suspect_workers": self._suspect_workers(),
+            "worker_alive": self._worker.is_alive(),
         }
 
     def metrics_text(self) -> str:
@@ -299,6 +422,21 @@ class TopazService:
              self.n_batches)
         emit("largest_batch", "gauge",
              "largest coalesced /extract batch so far", self.max_batch_seen)
+        emit("denoise_batches_total", "counter",
+             "batched device programs run for /denoise (dynamic batching)",
+             self.n_denoise_batches)
+        emit("largest_denoise_batch", "gauge",
+             "largest coalesced /denoise batch so far",
+             self.max_denoise_batch_seen)
+        emit("device_timeouts_total", "counter",
+             "requests that missed --device-timeout and got 504",
+             self.n_timeouts)
+        emit("worker_restarts_total", "counter",
+             "device workers replaced after a wedged device call",
+             self.n_worker_restarts)
+        emit("suspect_workers", "gauge",
+             "abandoned worker threads still alive (wedged device calls)",
+             self._suspect_workers())
         emit("queue_depth", "gauge", "requests queued for the device",
              self._queue.qsize())
         emit("queue_capacity", "gauge",
@@ -386,6 +524,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send_json(413, {"error": str(e)})
         except _Busy as e:
             return self._send_json(503, {"error": str(e)})
+        except _Timeout as e:
+            return self._send_json(504, {"error": str(e)})
         except ValueError as e:
             return self._send_json(400, {"error": str(e)})
         except Exception as e:  # noqa: BLE001 — boundary: report, don't die
@@ -460,7 +600,8 @@ def serve_from_args(args) -> int:
         max_request_bytes=args.max_request_bytes,
         max_batch=getattr(args, "max_batch", 8),
         batch_window_ms=getattr(args, "batch_window_ms", 20.0),
-        queue_depth=getattr(args, "queue_depth", 64))
+        queue_depth=getattr(args, "queue_depth", 64),
+        device_timeout=getattr(args, "device_timeout", 300.0))
     server = make_server(service, host=args.host, port=args.port)
     host, port = server.server_address[:2]
     report(f"serve: listening on http://{host}:{port} "
