@@ -35,12 +35,13 @@ def _command_modules():
         star_to_coordinates,
         train,
         train_test_split,
+        warmup,
         watch,
     )
 
     return [
         ("Particle picking", [train, segment, extract, precision_recall_curve]),
-        ("Streaming", [watch, serve]),
+        ("Streaming", [watch, serve, warmup]),
         ("Image processing", [downsample, normalize, preprocess, denoise, denoise3d]),
         ("File utilities", [convert, split, particle_stack, train_test_split]),
         ("GUI", [gui]),
