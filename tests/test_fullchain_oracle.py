@@ -15,67 +15,10 @@ pytestmark = pytest.mark.skipif(not reference_available(),
                                 reason="reference not mounted")
 
 
-def make_ctf_micrograph(rng, size=2048, n_particles=10, pixel_A=0.66,
-                        defocus_A=15000.0, seed_centers=None):
-    """Realistic synthetic micrograph (NOT plain Gaussian noise): solid-
-    sphere particle projections imaged through a CTF with envelope decay,
-    plus 1/f-colored ice background noise — the PSD and contrast-transfer
-    structure of a real cryo-EM exposure at the tutorial's geometry
-    (EMPIAR-10025 protocol: ~0.66 A/px raw, 8x downsample -> 5.28 A/px,
-    particle radius ~14 px at the downsampled scale,
-    tutorial/01_quick_start_guide.ipynb).
-
-    Returns (micrograph float32 [size,size], centers [(y,x) raw-scale]).
-    """
-    lam = 0.0197  # electron wavelength at 300 kV, Angstrom
-    cs = 2.7e7    # spherical aberration 2.7 mm in Angstrom
-    amp = 0.1     # amplitude contrast
-    bfac = 150.0  # envelope B-factor, A^2
-
-    # particle projections: solid spheres of ~74 A radius (14 px at 5.28)
-    r_px = 112.0  # raw pixels
-    signal = np.zeros((size, size), np.float32)
-    margin = int(r_px) + 32
-    if seed_centers is None:
-        centers = []
-        while len(centers) < n_particles:
-            cy, cx = rng.integers(margin, size - margin, size=2)
-            if all((cy - y) ** 2 + (cx - x) ** 2 > (2.2 * r_px) ** 2
-                   for y, x in centers):
-                centers.append((int(cy), int(cx)))
-    else:
-        centers = seed_centers
-    w = int(np.ceil(r_px)) + 2
-    yy, xx = np.mgrid[-w : w + 1, -w : w + 1].astype(np.float32)
-    d2 = yy**2 + xx**2
-    proj = np.sqrt(np.maximum(r_px**2 - d2, 0.0)) / r_px  # sphere projection
-    for cy, cx in centers:
-        signal[cy - w : cy + w + 1, cx - w : cx + w + 1] -= proj
-
-    # CTF in Fourier space (rfft grid), frequencies in 1/Angstrom
-    fy = np.fft.fftfreq(size, d=pixel_A)[:, None]
-    fx = np.fft.rfftfreq(size, d=pixel_A)[None, :]
-    f2 = fy**2 + fx**2
-    chi = np.pi * lam * defocus_A * f2 - 0.5 * np.pi * cs * lam**3 * f2**2
-    ctf = (np.sqrt(1 - amp**2) * np.sin(chi) + amp * np.cos(chi)) \
-        * np.exp(-bfac * f2 / 4.0)
-
-    import scipy.fft as sfft
-
-    sig_ctf = sfft.irfft2(sfft.rfft2(signal) * ctf, s=(size, size))
-
-    # colored ice/solvent background: white shot noise + 1/f structural
-    # noise (realistic falling PSD), SNR tuned so particles are visible
-    # but not trivial
-    white = rng.normal(0, 1.0, (size, size)).astype(np.float32)
-    pink_spec = sfft.rfft2(rng.normal(0, 1.0, (size, size)).astype(
-        np.float32)) / np.sqrt(np.maximum(np.sqrt(f2) / 0.002, 1.0))
-    pink = sfft.irfft2(pink_spec, s=(size, size)).astype(np.float32)
-    pink *= 1.0 / max(pink.std(), 1e-9)
-
-    x = 10.0 * sig_ctf.astype(np.float32) + white + 0.7 * pink
-    return x.astype(np.float32), centers
-
+# the CTF fixture generator lives in the package now (bench and
+# tools/quality_compare.py use it too); re-exported here for the
+# oracle tests and older callers
+from topaz_tpu.utils.synthetic import make_ctf_micrograph  # noqa: E402
 
 def test_full_picking_chain_matches_reference_ctf(rng):
     """Full-chain oracle on the CTF-modulated realistic fixture at the

@@ -1,16 +1,27 @@
 #!/usr/bin/env python
 """Training-quality comparison on the CTF-modulated realistic fixture
-(VERDICT r2 item 6): train a picker from scratch with BOTH stacks on the
-same synthetic CTF micrographs + labels, then evaluate AP against the
-planted ground truth with the same metric code. Writes one JSON line; the
-results are recorded in PARITY.md's quality table.
+(VERDICT r2 item 6; hardened per VERDICT r3 item 1): train a picker from
+scratch with BOTH stacks on the same synthetic CTF micrographs + labels,
+then evaluate AP against the planted ground truth with the same metric
+code. Writes one JSON line; the results are recorded in PARITY.md's
+quality table.
+
+Defaults are the reference's PUBLISHED protocol
+(/root/reference/topaz/commands/train.py:62-96: resnet8 units=32 bn=on,
+GE-binomial, minibatch 256, balance 0.0625, lr 2e-4, radius 3, 10
+epochs) on a NON-SATURATING fixture: lower SNR (--signal), per-micrograph
+defocus spread, particle crowding (--min-sep), and more micrographs than
+the round-3 fixture both stacks aced. --epoch-size scales the budget to
+the host (the published 1000 steps/epoch is hours on a 1-core torch-CPU
+host; the default here keeps each reference seed ~tens of minutes —
+identical for both stacks either way).
 
 The reference stack runs torch-CPU with torchvision's rotate/flips stubbed
 by scipy equivalents (torchvision is not installed in this image; the stub
 reproduces the same augmentation semantics the reference requests).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/quality_compare.py
-       [--seeds 3] [--skip-reference]
+       [--seeds 3] [--skip-reference] [--easy]
 """
 
 import argparse
@@ -30,22 +41,37 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 RADIUS_DS = 14      # extraction radius at the downsampled scale
 SCALE = 8
-N_TRAIN = 4
-N_TEST = 2
-N_PART = 10
+N_TRAIN = 8
+N_TEST = 4
+N_PART = 20
 EPOCHS = 10
 EPOCH_SIZE = 100
+MINIBATCH = 256
+UNITS = 32
+BN = "on"
+TRAIN_RADIUS = 3
+
+# hardened-fixture difficulty (see topaz_tpu/utils/synthetic.py knobs;
+# tools/tune_fixture.py picks SIGNAL so the pretrained picker lands
+# mid-range instead of saturating)
+SIGNAL = 2.5
+MIN_SEP = 1.6
+DEFOCUS_RANGE = (10000.0, 30000.0)
 
 
-def make_dataset(tmp, seed):
+def make_dataset(tmp, seed, signal=None, min_sep=None):
     """CTF-fixture micrographs at the tutorial geometry, pre-downsampled
-    and GMM-normalized (both stacks consume the same processed images)."""
-    from test_fullchain_oracle import make_ctf_micrograph
+    and GMM-normalized (both stacks consume the same processed images).
+    Per-micrograph defocus is drawn from DEFOCUS_RANGE (defocus spread,
+    as in a real dataset)."""
+    from topaz_tpu.utils.synthetic import make_ctf_micrograph
 
     from topaz_tpu.io import mrc
     from topaz_tpu.ops.fourier import downsample
     from topaz_tpu.ops.gmm import normalize
 
+    signal = SIGNAL if signal is None else signal
+    min_sep = MIN_SEP if min_sep is None else min_sep
     rng = np.random.default_rng(seed)
     proc = os.path.join(tmp, f"proc{seed}")
     os.makedirs(proc, exist_ok=True)
@@ -54,7 +80,10 @@ def make_dataset(tmp, seed):
     test_dir = os.path.join(proc, "test")
     os.makedirs(train_dir), os.makedirs(test_dir)
     for i in range(N_TRAIN + N_TEST):
-        x, centers = make_ctf_micrograph(rng, n_particles=N_PART)
+        defocus = rng.uniform(*DEFOCUS_RANGE)
+        x, centers = make_ctf_micrograph(
+            rng, n_particles=N_PART, signal=signal, min_sep=min_sep,
+            defocus_A=defocus)
         small = np.asarray(downsample(x, SCALE))
         norm, _ = normalize(small)
         split_dir, rows = ((train_dir, rows_train) if i < N_TRAIN
@@ -100,11 +129,12 @@ def run_ours(tmp, seed, train_dir, t_train):
         test_images=None, test_targets=None,
         format_="auto", image_ext="",
         k_fold=0, fold=0, cross_validation_seed=42,
-        num_particles=N_PART, pi=None, radius=3, method="GE-binomial",
+        num_particles=N_PART, pi=None, radius=TRAIN_RADIUS,
+        method="GE-binomial",
         slack=-1, autoencoder=0, l2=0.0, learning_rate=2e-4,
-        natural=False, minibatch_size=64, minibatch_balance=0.0625,
+        natural=False, minibatch_size=MINIBATCH, minibatch_balance=0.0625,
         epoch_size=EPOCH_SIZE, num_epochs=EPOCHS,
-        pretrained=False, model="resnet8", units=16, dropout=0.0, bn="off",
+        pretrained=False, model="resnet8", units=UNITS, dropout=0.0, bn=BN,
         pooling=None, unit_scaling=2, ngf=32, patch_size=96,
         patch_padding=48,
         save_prefix=os.path.join(tmp, f"ours{seed}"),
@@ -188,7 +218,8 @@ def run_reference(tmp, seed, train_dir, t_train, test_dir):
     from topaz.model.factory import get_feature_extractor
     from topaz.model.classifier import LinearClassifier
 
-    feat = get_feature_extractor("resnet8", units=16, dropout=0.0, bn="off")
+    feat = get_feature_extractor("resnet8", units=UNITS, dropout=0.0,
+                                 bn=BN)
     model = LinearClassifier(feat)
 
     import types
@@ -202,13 +233,13 @@ def run_reference(tmp, seed, train_dir, t_train, test_dir):
             describe=False, num_workers=0,
             format_="auto", image_ext="",
             k_fold=0, fold=0, cross_validation_seed=42,
-            num_particles=N_PART, pi=None, radius=3,
+            num_particles=N_PART, pi=None, radius=TRAIN_RADIUS,
             method="GE-binomial", slack=-1, autoencoder=0,
             l2=0.0, learning_rate=2e-4, natural=False,
-            minibatch_size=64, minibatch_balance=0.0625,
+            minibatch_size=MINIBATCH, minibatch_balance=0.0625,
             epoch_size=EPOCH_SIZE, num_epochs=EPOCHS,
-            pretrained=False, model="resnet8", units=16, dropout=0.0,
-            bn="off", pooling=None, unit_scaling=2, ngf=32,
+            pretrained=False, model="resnet8", units=UNITS, dropout=0.0,
+            bn=BN, pooling=None, unit_scaling=2, ngf=32,
             test_batch_size=1, dims=2,
         ),
         dims=2,
@@ -236,21 +267,46 @@ def run_reference(tmp, seed, train_dir, t_train, test_dir):
 
 
 def main():
-    global EPOCHS
+    global EPOCHS, EPOCH_SIZE, MINIBATCH, UNITS, BN, SIGNAL, MIN_SEP
+    global N_TRAIN, N_TEST, N_PART
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=EPOCHS,
-                    help="training epochs (smaller = below saturation, "
-                         "more discriminative)")
+                    help="training epochs (published protocol: 10)")
+    ap.add_argument("--epoch-size", type=int, default=EPOCH_SIZE,
+                    help="steps per epoch (published default is 1000; "
+                         "scaled down so a torch-CPU seed stays ~tens of "
+                         "minutes on this host — identical both stacks)")
+    ap.add_argument("--signal", type=float, default=SIGNAL,
+                    help="fixture CTF-signal amplitude (lower = harder; "
+                         "tools/tune_fixture.py calibrates this)")
+    ap.add_argument("--min-sep", type=float, default=MIN_SEP,
+                    help="fixture center exclusion in particle radii "
+                         "(lower = more crowding)")
+    ap.add_argument("--easy", action="store_true",
+                    help="the round-3 saturating configuration (signal "
+                         "10, no crowding/defocus spread, u16 batch 64) "
+                         "for the historical record")
     ap.add_argument("--skip-reference", action="store_true")
     opts = ap.parse_args()
     EPOCHS = opts.epochs
+    EPOCH_SIZE = opts.epoch_size
+    SIGNAL, MIN_SEP = opts.signal, opts.min_sep
+    if opts.easy:
+        SIGNAL, MIN_SEP = 10.0, 2.2
+        globals()["DEFOCUS_RANGE"] = (15000.0, 15000.0)
+        MINIBATCH, UNITS, BN = 64, 16, "off"
+        N_TRAIN, N_TEST, N_PART = 4, 2, 10
 
-    results = {"ours": [], "reference": [], "fixture": "CTF-modulated "
-               "(see tests/test_fullchain_oracle.make_ctf_micrograph)",
+    results = {"ours": [], "reference": [], "fixture":
+               f"CTF-modulated, signal={SIGNAL} min_sep={MIN_SEP} "
+               f"defocus={globals()['DEFOCUS_RANGE']} "
+               "(topaz_tpu/utils/synthetic.make_ctf_micrograph)",
                "protocol": f"{N_TRAIN} train + {N_TEST} test micrographs, "
                f"{N_PART} particles each, 8x downsample, GE-binomial, "
-               f"resnet8 u16, {EPOCHS}x{EPOCH_SIZE} steps, r={RADIUS_DS}"}
+               f"resnet8 u{UNITS} bn={BN}, batch {MINIBATCH} "
+               f"balance 0.0625 lr 2e-4 r={TRAIN_RADIUS}, "
+               f"{EPOCHS}x{EPOCH_SIZE} steps, eval r={RADIUS_DS}"}
     with tempfile.TemporaryDirectory(prefix="topaz_quality_") as tmp:
         for seed in range(opts.seeds):
             train_dir, t_train, test_dir, t_test = make_dataset(tmp, seed)
