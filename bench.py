@@ -37,6 +37,89 @@ N_ITERS = 6
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
 
+# Workload FLOP counts from XLA's cost analysis of the compiled programs
+# (tools/count_flops.py; backend-independent). Regenerate with
+#   JAX_PLATFORMS=cpu python tools/count_flops.py
+DENOISE4K_FLOPS = 4.62152e12   # whole-image unet-v0.2.1 @ 4096^2
+TRAIN_STEP_FLOPS = 4.51092e10  # GE-binomial resnet8_u32 fwd+bwd+adam, b=256
+
+
+def bench_matmul_peak() -> dict:
+    """Measured matmul peak of THIS chip per dtype (VERDICT r3 item 4):
+    a chain of 8192^2 dots compiled as one program, best-of-3. This is
+    the roofline denominator for the MFU numbers — the tunneled chip's
+    delivered rate, not the v5e datasheet (197 TF/s bf16)."""
+    n, chain_len = 8192, 8
+    seed = np.random.default_rng(1)
+    host = (seed.normal(0, 1, (n, n)) / np.sqrt(n)).astype(np.float32)
+    out = {}
+    # f32 at DEFAULT precision runs one bf16 MXU pass with f32
+    # accumulation on TPU (what every f32 conv/matmul in this package
+    # actually executes); HIGHEST is true multi-pass f32 arithmetic.
+    cases = (("bf16", jnp.bfloat16, None),
+             ("f32", jnp.float32, None),
+             ("f32_highest", jnp.float32, jax.lax.Precision.HIGHEST))
+    for name, dtype, prec in cases:
+        a = jnp.asarray(host, dtype)
+
+        @jax.jit
+        def chain(x):
+            y = x
+            for _ in range(chain_len):
+                y = jnp.dot(y, x, precision=prec)
+            return y
+
+        _ = np.asarray(chain(a)[:1, :1])  # compile + one run
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            r = chain(a)
+            _ = np.asarray(r[:1, :1])
+            best = min(best, time.time() - t0)
+        out[f"measured_peak_tf_s_{name}"] = round(
+            2.0 * n**3 * chain_len / best / 1e12, 1)
+    out["peak_note"] = ("chain of 8192^2 dots, best-of-3, this chip via "
+                        "the tunnel; f32 = default precision (one bf16 "
+                        "MXU pass + f32 accumulate, what f32 convs here "
+                        "actually run), f32_highest = multi-pass true f32")
+    return out
+
+
+DENOISE3D_SHAPE = (192, 384, 384)  # BASELINE config 4 tomogram
+
+
+def bench_denoise3d(rng) -> dict:
+    """denoise3d throughput (BASELINE config 4, VERDICT r3 item 5):
+    one 192x384x384 tomogram through the 3D U-Net patch path at the
+    reference defaults (-s 96 -p 48, topaz/commands/denoise3d.py:52-53),
+    f32; and under the documented fast profile (bf16 + --auto-patch).
+    Pretrained 3D weights are stripped from this mirror, so the model is
+    random-init unet-3d — identical compute either way."""
+    from topaz_tpu.denoise import Denoise3D, auto_patch_size
+
+    tomo = rng.normal(0, 1, DENOISE3D_SHAPE).astype(np.float32)
+    voxels = float(np.prod(DENOISE3D_SHAPE))
+    out = {}
+    fast_patch = auto_patch_size(DENOISE3D_SHAPE, padding=48)
+    for label, dtype, patch in (("f32", None, 96),
+                                ("fast", "bf16", fast_patch)):
+        den = Denoise3D.from_arch("unet", dims=3, dtype=dtype)
+        # warmup: a single-patch volume compiles the same ("vol", d, B)
+        # program the full grid uses
+        warm_shape = (min(patch, DENOISE3D_SHAPE[0]),) * 3
+        den.denoise(rng.normal(0, 1, warm_shape).astype(np.float32),
+                    patch_size=patch, padding=48, verbose=False)
+        t0 = time.time()
+        den.denoise(tomo, patch_size=patch, padding=48, verbose=False)
+        out[f"denoise3d_{label}_voxels_per_sec"] = round(
+            voxels / (time.time() - t0), 0)
+    out["denoise3d_fast_patch_size"] = int(fast_patch)
+    out["denoise3d_workload"] = (
+        f"{DENOISE3D_SHAPE} tomogram, 3D U-Net patch path; f32 at the "
+        "reference defaults -s 96 -p 48, fast = bf16 + --auto-patch "
+        "(BASELINE config 4)")
+    return out
+
 
 def build_pipeline(fast: bool = False):
     """The per-micrograph compute pipeline. ``fast=True`` builds the
@@ -123,13 +206,13 @@ def bench_denoise_bf16(raw) -> float:
     return N_ITERS / elapsed
 
 
-def bench_compute(rng, fast: bool = False, quality_ref=None):
+def bench_compute(rng, fast: bool = False):
     """Device-compute throughput: one resident 4k micrograph through
     preprocess + extract + denoise@4k (round-1 headline, kept comparable).
 
-    ``fast=True`` measures the documented fast profile; ``quality_ref``
-    (the f32 profile's (picks, denoised) on the same input) adds the
-    measured quality delta to the result."""
+    ``fast=True`` measures the documented fast profile. Returns
+    (throughput, (extract, denoise)) — the compiled pipeline functions are
+    reused by bench_extract_only and bench_fast_quality."""
     raw = jnp.asarray(rng.normal(0, 1, (4096, 4096)).astype(np.float32))
 
     label = "fast" if fast else "compute"
@@ -162,30 +245,79 @@ def bench_compute(rng, fast: bool = False, quality_ref=None):
         _ = np.asarray(coords), np.asarray(edge)
     elapsed = time.time() - t0
     tput = N_ITERS / elapsed
+    return tput, (extract, denoise)
 
-    # quality snapshot on this input (fetched once, untimed)
-    scores, coords, count = extract(raw)
-    n = int(np.asarray(count))
-    picks = (np.asarray(scores)[:n], np.asarray(coords)[:n])
-    den = np.asarray(denoise(raw))
-    quality = None
-    if quality_ref is not None:
-        (s_ref, c_ref), den_ref = quality_ref
-        same = min(len(s_ref), len(picks[0]))
-        coords_equal = (len(s_ref) == len(picks[0])
-                        and np.array_equal(np.sort(c_ref, axis=0),
-                                           np.sort(picks[1], axis=0)))
-        quality = {
-            "picks_f32": len(s_ref),
-            "picks_fast": len(picks[0]),
-            "pick_coords_identical": bool(coords_equal),
-            "pick_score_max_abs_delta": float(
-                np.max(np.abs(picks[0][:same] - s_ref[:same]))
-                if same else 0.0),
-            "denoise_rel_err": float(
-                np.linalg.norm(den - den_ref) / np.linalg.norm(den_ref)),
-        }
-    return tput, (picks, den), quality, extract
+
+N_QUALITY_MICS = 2
+
+
+def bench_fast_quality(fns_f32, fns_fast) -> dict:
+    """Fast-profile quality delta measured where quality means something
+    (VERDICT r3 item 2): CTF-modulated fixture micrographs with planted
+    particles (not N(0,1) noise, where threshold crossings are
+    arbitrary). Reports planted-particle AP under both profiles, the
+    Hungarian-matched fraction + displacement between the two pick sets
+    (picks contract: /root/reference/topaz/extract.py:266-354), and the
+    denoise relative error on the same realistic image."""
+    from topaz_tpu.ops.metrics import average_precision, match_coordinates
+    from topaz_tpu.utils.synthetic import make_ctf_micrograph
+
+    rng = np.random.default_rng(7)
+    hits = {"f32": [], "fast": []}
+    scores = {"f32": [], "fast": []}
+    n_targets = 0
+    n_matched = 0
+    n_union_max = 0
+    disp = []
+    rel_err = []
+    counts = {"f32": 0, "fast": 0}
+    for _ in range(N_QUALITY_MICS):
+        raw, centers = make_ctf_micrograph(
+            rng, size=4096, n_particles=80, signal=6.0,
+            defocus_A=float(rng.uniform(10000.0, 30000.0)))
+        # planted centers at the 8x-downsampled picking scale, (x, y)
+        targets = np.array([[cx / 8.0, cy / 8.0] for cy, cx in centers])
+        raw_j = jnp.asarray(raw)
+        picks = {}
+        for label, (extract, _dn) in (("f32", fns_f32), ("fast", fns_fast)):
+            s, c, count = extract(raw_j)
+            s = np.asarray(s)
+            n = min(int(np.asarray(count)), len(s))
+            picks[label] = (s[:n], np.asarray(c)[:n].astype(np.float64))
+            counts[label] += n
+            assignment, _ = match_coordinates(targets, picks[label][1], 14)
+            hits[label].append(assignment)
+            scores[label].append(picks[label][0])
+        n_targets += len(targets)
+        # profile-vs-profile pick matching (tight radius: the profiles
+        # differ only in normalization statistics + denoise dtype)
+        _s32, c32 = picks["f32"]
+        _sf, cf = picks["fast"]
+        assignment, dist = match_coordinates(c32, cf, 4)
+        n_matched += int(assignment.sum())
+        n_union_max += max(len(c32), len(cf))
+        disp.extend(np.asarray(dist)[assignment > 0].tolist())
+        d32 = np.asarray(fns_f32[1](raw_j))
+        dfast = np.asarray(fns_fast[1](raw_j))
+        rel_err.append(float(np.linalg.norm(dfast - d32)
+                             / np.linalg.norm(d32)))
+    ap = {k: float(average_precision(np.concatenate(hits[k]),
+                                     np.concatenate(scores[k]),
+                                     N=n_targets))
+          for k in ("f32", "fast")}
+    return {
+        "fixture": (f"{N_QUALITY_MICS} CTF-modulated 4096^2 micrographs, "
+                    "80 planted particles each, defocus spread "
+                    "(topaz_tpu/utils/synthetic.make_ctf_micrograph)"),
+        "ap_f32": round(ap["f32"], 4),
+        "ap_fast": round(ap["fast"], 4),
+        "picks_f32": counts["f32"],
+        "picks_fast": counts["fast"],
+        "matched_pick_fraction": round(n_matched / max(n_union_max, 1), 4),
+        "matched_pick_mean_displacement_px": round(
+            float(np.mean(disp)) if disp else 0.0, 3),
+        "denoise_rel_err": round(float(np.mean(rel_err)), 5),
+    }
 
 
 def bench_extract_only(extract, raw) -> float:
@@ -317,17 +449,39 @@ def main():
     _wait_for_device()
     rng = np.random.default_rng(0)
 
-    compute_tput, f32_outputs, _, extract_f32 = bench_compute(rng)
+    compute_tput, fns_f32 = bench_compute(rng)
     raw4k = jnp.asarray(
         np.random.default_rng(0).normal(0, 1, (4096, 4096))
         .astype(np.float32))
-    extract_tput = bench_extract_only(extract_f32, raw4k)
-    fast_tput, _, fast_quality, _ = bench_compute(
-        np.random.default_rng(0), fast=True, quality_ref=f32_outputs)
+    extract_tput = bench_extract_only(fns_f32[0], raw4k)
+    fast_tput, fns_fast = bench_compute(np.random.default_rng(0), fast=True)
+    print("# bench: measuring fast-profile quality on the CTF fixture...",
+          file=sys.stderr, flush=True)
+    fast_quality = bench_fast_quality(fns_f32, fns_fast)
+    print("# bench: matmul peak micro-bench...", file=sys.stderr, flush=True)
+    peaks = bench_matmul_peak()
+    print("# bench: denoise3d (BASELINE config 4)...", file=sys.stderr,
+          flush=True)
+    denoise3d = bench_denoise3d(rng)
     pipeline_tput = bench_pipeline(rng)
     train_tput = bench_train(rng)
     bf16_denoise_tput = bench_denoise_bf16(
         jnp.asarray(rng.normal(0, 1, (4096, 4096)).astype(np.float32)))
+
+    # model FLOP utilization against THIS chip's measured peak (the
+    # roofline denominator the r3 verdict asked to pin down)
+    mfu = {}
+    if DENOISE4K_FLOPS:
+        mfu["mfu_denoise4k_bf16"] = round(
+            DENOISE4K_FLOPS * bf16_denoise_tput
+            / (peaks["measured_peak_tf_s_bf16"] * 1e12), 4)
+    if TRAIN_STEP_FLOPS:
+        mfu["mfu_train_step_f32"] = round(
+            TRAIN_STEP_FLOPS * (train_tput / TRAIN_BATCH)
+            / (peaks["measured_peak_tf_s_f32"] * 1e12), 4)
+    mfu["mfu_note"] = ("achieved FLOP/s over the measured matmul peak of "
+                       "this chip (not the v5e datasheet); workload FLOPs "
+                       "from XLA cost analysis (tools/count_flops.py)")
 
     vs_baseline = None
     pipeline_vs_cpu = None
@@ -355,6 +509,9 @@ def main():
                 "profile: histogram-EM normalization (bins=65536) + bf16 "
                 "denoise; scoring/NMS stay f32"),
             "fast_profile_quality_delta": fast_quality,
+            **peaks,
+            **mfu,
+            **denoise3d,
             "extract_only_mic_per_sec": round(extract_tput, 4),
             "extract_only_workload": (
                 "picking without the denoise arm (topaz extract on raw "
