@@ -51,10 +51,14 @@ UNITS = 32
 BN = "on"
 TRAIN_RADIUS = 3
 
-# hardened-fixture difficulty (see topaz_tpu/utils/synthetic.py knobs;
-# tools/tune_fixture.py picks SIGNAL so the pretrained picker lands
-# mid-range instead of saturating)
-SIGNAL = 2.5
+# hardened-fixture difficulty (see topaz_tpu/utils/synthetic.py knobs).
+# SIGNAL calibrated by tools/tune_fixture.py --calibrate (round 4):
+# short-budget (3x50 step) reference training lands at AP 0.28 / 0.49 /
+# 0.71 / 0.97 for signal 0.5 / 0.75 / 1.0 / 1.5 — and 1.0 even at
+# signal 2.0 — so 0.8 puts the full published protocol mid-range
+# (discriminating, not saturated). tests/test_quality_fixture.py pins
+# the fixture statistics this choice produces.
+SIGNAL = 0.8
 MIN_SEP = 1.6
 DEFOCUS_RANGE = (10000.0, 30000.0)
 
