@@ -214,10 +214,47 @@ def test_denoise3d_batched_patches_match(tmp_path, rng):
 
     vol = rng.normal(size=(64, 72, 80)).astype(np.float32)
     out1 = den.denoise(vol, patch_size=32, padding=8, batch_size=1,
-                       verbose=False)
+                       verbose=False, device_resident=False)
     out4 = den.denoise(vol, patch_size=32, padding=8, batch_size=4,
-                       verbose=False)
+                       verbose=False, device_resident=False)
     np.testing.assert_allclose(out1, out4, rtol=1e-5, atol=1e-5)
+
+
+def test_denoise3d_device_resident_matches_streaming(rng):
+    """The one-program device-resident volume path (upload once,
+    dynamic_slice patches + dynamic_update_slice writeback in a scan)
+    equals the streaming host patch loop on every voxel — including the
+    ceil-grid overshoot rows and the zero-filled borders."""
+    from topaz_tpu.denoise import Denoise3D
+
+    den = Denoise3D.from_arch("unet", nf=4, base_width=7, dims=3, seed=2)
+    vol = rng.normal(size=(40, 56, 50)).astype(np.float32)  # non-dividing
+    res = den.denoise(vol, patch_size=16, padding=8, verbose=False,
+                      device_resident=True)
+    stream = den.denoise(vol, patch_size=16, padding=8, verbose=False,
+                         device_resident=False)
+    assert res.shape == stream.shape == vol.shape
+    np.testing.assert_allclose(res, stream, rtol=2e-5, atol=2e-5)
+
+
+def test_denoise3d_device_resident_routing(rng):
+    """Auto-routing falls back to streaming over the residency cap, and
+    device_resident=True on an over-cap volume is a clear error."""
+    import pytest
+
+    from topaz_tpu.denoise import Denoise3D
+
+    den = Denoise3D.from_arch("unet", nf=4, base_width=7, dims=3, seed=2)
+    vol = rng.normal(size=(32, 32, 32)).astype(np.float32)
+    assert den._denoise_device_resident(vol, 16, 8,
+                                        verbose=False) is not None
+    den._DEVICE_RESIDENT_CAP = 0
+    assert den._denoise_device_resident(vol, 16, 8, verbose=False) is None
+    out = den.denoise(vol, patch_size=16, padding=8, verbose=False)
+    assert out.shape == vol.shape  # auto mode degraded gracefully
+    with pytest.raises(ValueError):
+        den.denoise(vol, patch_size=16, padding=8, verbose=False,
+                    device_resident=True)
 
 
 def test_denoise_cli_downsample(tmp_path, rng):
