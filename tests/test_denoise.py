@@ -237,6 +237,44 @@ def test_denoise3d_device_resident_matches_streaming(rng):
     np.testing.assert_allclose(res, stream, rtol=2e-5, atol=2e-5)
 
 
+def test_denoise3d_training_guards(tmp_path, rng):
+    """Tiny inputs fail with clear errors instead of empty-axis crashes
+    deep inside jit tracing: crop >= volume samples no tiles; crop below
+    the arch's pooling-pyramid minimum is named with the flag to raise;
+    too-small inference patches likewise."""
+    import pytest
+
+    from topaz_tpu.denoise import Denoise3D
+    from topaz_tpu.io import mrc
+    from topaz_tpu.train.denoise_data import PairedTiles3D
+
+    even, odd = tmp_path / "even", tmp_path / "odd"
+    even.mkdir(), odd.mkdir()
+    vol = rng.normal(size=(32, 32, 32)).astype(np.float32)
+    mrc.write(str(even / "t.mrc"), vol)
+    mrc.write(str(odd / "t.mrc"), vol + 1)
+
+    with pytest.raises(ValueError, match="strictly larger than the crop"):
+        PairedTiles3D(str(even), str(odd), 32, 8, 4)
+
+    data = PairedTiles3D(str(even), str(odd), 16, 8, 4)
+
+    class _W:
+        def __init__(self, mode):
+            self.mode = mode
+
+        def batches(self, batch_size, shuffle=True):
+            return data.batches(batch_size, mode=self.mode, shuffle=shuffle)
+
+    den = Denoise3D.from_arch("unet", nf=4, base_width=7, dims=3)
+    with pytest.raises(ValueError, match="minimum input"):
+        den.train(_W("train"), _W("test"), batch_size=2, num_epochs=1)
+
+    with pytest.raises(ValueError, match="minimum input"):
+        den.denoise(rng.normal(size=(40, 40, 40)).astype(np.float32),
+                    patch_size=8, padding=4, verbose=False)
+
+
 def test_denoise3d_device_resident_routing(rng):
     """Auto-routing falls back to streaming over the residency cap, and
     device_resident=True on an over-cap volume is a clear error."""

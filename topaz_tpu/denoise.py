@@ -39,6 +39,21 @@ from topaz_tpu.ops.filters import (
 from topaz_tpu.ops.fourier import lowpass as lowpass_filter
 
 
+def _check_min_extent(meta, extents, what: str, flag: str):
+    """Clear error when an input is smaller than the arch's pooling
+    pyramid allows (models.min_input_size) instead of an opaque
+    empty-axis failure deep inside jit tracing."""
+    from topaz_tpu.models.denoise import min_input_size
+
+    min_in = min_input_size(meta["arch"])
+    if any(int(s) < min_in for s in extents):
+        raise ValueError(
+            f"{what} of size {tuple(int(s) for s in extents)} are smaller "
+            f"than the {meta['arch']!r} denoiser's minimum input of "
+            f"{min_in} per dimension (its pooling levels would collapse "
+            f"an axis); raise {flag}")
+
+
 def _is_hbm_oom(e: Exception) -> bool:
     """True when an XLA error is a device out-of-memory (compile- or
     run-time). Matched on message text because the failure surfaces as a
@@ -435,6 +450,8 @@ class Denoise3D(Denoise):
                       file=sys.stderr)
         if patch_size < 1:
             return self._apply(tomo)
+        _check_min_extent(self.meta, (patch_size + 2 * padding,) * 3,
+                          "inference patches", "-s/--patch-size")
 
         if device_resident is not False:  # None = auto-route
             out = self._denoise_device_resident(tomo, patch_size, padding,
@@ -639,10 +656,19 @@ def train_denoiser(meta, params, train_sampler, val_sampler, loss_fn: str = "L2"
         # dominates the ~ms step on a high-latency link
         losses, weights = [], []
         for src, tgt in train_sampler.batches(batch_size, shuffle=True):
+            if epoch == 0 and not weights:
+                _check_min_extent(meta, src.shape[1 : 1 + dims],
+                                  "training tiles", "--crop/-c")
             params, opt_state, loss = train_step(
                 params, opt_state, _put(src), _put(tgt), gamma)
             losses.append(loss)
             weights.append(src.shape[0])
+
+        if epoch == 0 and not weights:
+            raise ValueError(
+                "the training sampler produced no batches — check that the "
+                "paired training data is non-empty and larger than the "
+                "crop/tile size")
 
         def _weighted_mean(losses, weights):
             if not losses:

@@ -370,6 +370,20 @@ def _unet_layout(nf, base_width, top_width, levels=5):
     return layout
 
 
+def min_input_size(arch: str) -> int:
+    """Smallest spatial extent (per dimension) the arch's pooling pyramid
+    accepts: each of the L pooling levels halves the grid, so an input
+    below 2**L collapses an axis to zero mid-network and fails deep inside
+    the upsample (the reference crashes the same way inside
+    F.interpolate; topaz/denoising/models.py:303-346). Callers turn this
+    into a clear error naming the flag to raise."""
+    if arch in ("unet", "unet3", "unet2"):
+        return 32
+    if arch == "unet-small":
+        return 8
+    return 1
+
+
 def arch_layout(arch: str, nf: int = 48, base_width: int = 11,
                 top_width: int = 3) -> Dict[str, Dict[str, Tuple[int, int, int]]]:
     """Conv shape layout {module: {idx: (kernel, cin, cout)}} per arch."""

@@ -198,6 +198,12 @@ class PairedTiles3D:
 
         if not self.volumes:
             raise ValueError("need at least 1 even/odd volume pair")
+        if not self.train_tiles:
+            raise ValueError(
+                f"no training tiles could be sampled with --crop {tilesize}: "
+                "every volume must be strictly larger than the crop in all "
+                "three dimensions "
+                f"(volume shapes: {[v[0].shape for v in self.volumes]})")
 
     def _sample_coordinates(self, shape, n_train, n_test):
         """cryoCARE-style disjoint train/val center sampling
