@@ -237,6 +237,39 @@ def test_denoise3d_device_resident_matches_streaming(rng):
     np.testing.assert_allclose(res, stream, rtol=2e-5, atol=2e-5)
 
 
+def test_denoise2d_patches_device_resident_matches_stream(rng):
+    """The hybrid device-resident 2D patch path (interior patches as one
+    scan program over the resident image, border patches batched by
+    truncated shape) equals the host patch loop everywhere — including
+    the truncated right/bottom tiles."""
+    from topaz_tpu.denoise import Denoise
+
+    den = Denoise.from_arch("unet-small", nf=8, base_width=7, seed=3)
+    x = rng.normal(size=(160, 150)).astype(np.float32)  # truncated tiles
+    res = den._denoise_patches_resident(x, 48, 16)
+    assert res is not None  # interior patches exist at this geometry
+    stream = den._denoise_patches_stream(x, 48, padding=16)
+    np.testing.assert_allclose(res, stream, rtol=2e-5, atol=2e-5)
+    # public entry routes through the resident path on this geometry
+    np.testing.assert_allclose(den.denoise(x, patch_size=48, padding=16),
+                               res, rtol=2e-5, atol=2e-5)
+
+
+def test_denoise2d_patches_resident_routing(rng):
+    """No interior patches, an over-cap image, or a multi-frame input
+    -> the resident path declines and the stream loop runs."""
+    from topaz_tpu.denoise import Denoise
+
+    den = Denoise.from_arch("unet-small", nf=8, base_width=7, seed=3)
+    x = rng.normal(size=(100, 120)).astype(np.float32)
+    assert den._denoise_patches_resident(x, 48, 16) is None  # all border
+    den._DEVICE_RESIDENT_CAP = 0
+    big = rng.normal(size=(160, 150)).astype(np.float32)
+    assert den._denoise_patches_resident(big, 48, 16) is None
+    out = den.denoise(big, patch_size=48, padding=16)
+    assert out.shape == big.shape
+
+
 def test_denoise3d_training_guards(tmp_path, rng):
     """Tiny inputs fail with clear errors instead of empty-axis crashes
     deep inside jit tracing: crop >= volume samples no tiles; crop below
