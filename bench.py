@@ -104,11 +104,11 @@ def bench_denoise3d(rng) -> dict:
     for label, dtype, patch in (("f32", None, 96),
                                 ("fast", "bf16", fast_patch)):
         den = Denoise3D.from_arch("unet", dims=3, dtype=dtype)
-        # warmup: a single-patch volume compiles the same ("vol", d, B)
-        # program the full grid uses
-        warm_shape = (min(patch, DENOISE3D_SHAPE[0]),) * 3
-        den.denoise(rng.normal(0, 1, warm_shape).astype(np.float32),
-                    patch_size=patch, padding=48, verbose=False)
+        # warmup: run the full tomogram once — the device-resident path's
+        # program is keyed on the full volume shape (unlike the old
+        # streaming ("vol", d, B) key), so only an identical-shape run
+        # pre-compiles what the timed run executes
+        den.denoise(tomo, patch_size=patch, padding=48, verbose=False)
         t0 = time.time()
         den.denoise(tomo, patch_size=patch, padding=48, verbose=False)
         out[f"denoise3d_{label}_voxels_per_sec"] = round(
