@@ -354,21 +354,22 @@ def bench_train(rng) -> float:
     spec, params, state = load_picker("resnet8_u32")
     loss_fn, _header, _split = make_loss_fn("GE-binomial", 0.025)
     opt = make_optimizer(2e-4, "adam")
-    step = make_train_step(spec, loss_fn, opt, n_pos=16)
+    step = make_train_step(spec, loss_fn, opt)
     st = init_train_state(spec, params, state, opt, 0.025)
     crops = jnp.asarray(
         rng.normal(0, 1, (TRAIN_BATCH, spec.width, spec.width))
         .astype(np.float32))
+    labels = jnp.asarray((np.arange(TRAIN_BATCH) < 16).astype(np.float32))
 
     t0 = time.time()
-    st, metrics = step(st, crops)
+    st, metrics = step(st, crops, labels)
     _ = float(np.asarray(metrics["loss"]))
     print(f"# bench: train-step compile done in {time.time() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
     t0 = time.time()
     for _ in range(TRAIN_ITERS):
-        st, metrics = step(st, crops)
+        st, metrics = step(st, crops, labels)
     _ = float(np.asarray(metrics["loss"]))  # drain the async queue
     elapsed = time.time() - t0
     return TRAIN_ITERS * TRAIN_BATCH / elapsed

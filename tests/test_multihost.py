@@ -29,37 +29,39 @@ mesh = make_mesh(n_data=8, n_space=1)
 loss_fn, _, _ = make_loss_fn("PN", 0.05)
 opt = make_optimizer(2e-4)
 tstate = init_train_state(spec, params, state, opt, 0.05, seed=0)
-step = make_dp_train_step(spec, loss_fn, opt, n_pos=4, mesh=mesh)
+step = make_dp_train_step(spec, loss_fn, opt, mesh=mesh)
 
 # snapshot the initial weights on host — the train step donates its
 # state buffers, deleting the original device arrays
 params = jax.tree_util.tree_map(np.asarray, params)
 state = jax.tree_util.tree_map(np.asarray, state)
 
-# the CLI convention: each process samples its OWN local batch whose
-# first n_pos entries are the labeled positives (training.py sampler)
+# the CLI convention: each process samples its OWN local batch; labels
+# travel with the crops (training.py sampler), so cross-process batches
+# need no positive-first reordering
 rng = np.random.default_rng(jax.process_index())
 local = rng.normal(size=(8, 71, 71)).astype(np.float32)
-tstate, metrics = step(tstate, local)
+local_labels = (np.arange(8) < 4).astype(np.float32)
+tstate, metrics = step(tstate, local, local_labels)
 loss = float(metrics["loss"])
 assert np.isfinite(loss)
 
 # expected: forward the known global batch through the ORIGINAL params
-# with all positives ordered first and n_pos = 4 * process_count —
-# regression guard for the positional-label bug (only process 0's
-# positives were treated as labeled before)
+# with the concatenated global labels — regression guard for the
+# positional-label bug (only process 0's positives were treated as
+# labeled before labels became per-item)
 from topaz_tpu.models.picker import apply_picker
 from topaz_tpu.train.methods import init_method_state
 import jax.numpy as jnp
 blocks = [np.random.default_rng(p).normal(size=(8, 71, 71)).astype(np.float32)
           for p in range(2)]
 glob = np.concatenate(blocks)
-perm = np.concatenate([np.arange(0, 4), np.arange(8, 12),
-                       np.arange(4, 8), np.arange(12, 16)])
+glob_labels = np.concatenate([(np.arange(8) < 4).astype(np.float32)] * 2)
 score, _ = apply_picker(spec, params, jnp.asarray(glob), state=state,
                         dense=False, train=True,
                         dropout_rng=jax.random.PRNGKey(0))
-expected_loss, _, _ = loss_fn(jnp.asarray(score).reshape(-1)[perm], 8,
+expected_loss, _, _ = loss_fn(jnp.asarray(score).reshape(-1),
+                              jnp.asarray(glob_labels),
                               init_method_state(0.05))
 assert abs(loss - float(expected_loss)) < 1e-4, (loss, float(expected_loss))
 print(f"MHOST-OK proc={jax.process_index()} loss={loss:.6f}", flush=True)

@@ -78,9 +78,10 @@ def test_dp_train_step(rng):
     tstate = init_train_state(spec, params, state, optimizer, 0.05, seed=0)
 
     B = mesh.shape["data"] * 2
-    step = make_dp_train_step(spec, loss_fn, optimizer, n_pos=B // 4, mesh=mesh)
+    step = make_dp_train_step(spec, loss_fn, optimizer, mesh=mesh)
     crops = rng.normal(size=(B, 101, 101)).astype(np.float32)
-    new_state, metrics = step(tstate, crops)
+    labels = (np.arange(B) < B // 4).astype(np.float32)
+    new_state, metrics = step(tstate, crops, labels)
     assert np.isfinite(float(metrics["loss"]))
     leaf_new = jax.tree_util.tree_leaves(new_state.params)[0]
     assert np.isfinite(np.asarray(leaf_new)).all()

@@ -39,8 +39,8 @@ def test_3d_sampler_and_train_step(tmp_path, rng):
     loss_fn, header, split = make_loss_fn("PN", 0.05)
     opt = make_optimizer(1e-3)
     tstate = init_train_state(spec, params, state, opt, 0.05, seed=0)
-    step = make_train_step(spec, loss_fn, opt, n_pos=2)
-    tstate, metrics = step(tstate, jnp.asarray(crops))
+    step = make_train_step(spec, loss_fn, opt)
+    tstate, metrics = step(tstate, jnp.asarray(crops), jnp.asarray(labels))
     assert np.isfinite(float(metrics["loss"]))
 
     # positives expand to a radius-2 sphere, so the planted dark pixel lies
@@ -111,8 +111,8 @@ def test_3d_augmented_sampler_and_train_step(tmp_path, rng):
     loss_fn, header, split = make_loss_fn("PN", 0.05)
     opt = make_optimizer(1e-3)
     tstate = init_train_state(spec, params, state, opt, 0.05, seed=0)
-    step = make_train_step(spec, loss_fn, opt, n_pos=2)
-    tstate, metrics = step(tstate, jnp.asarray(crops))
+    step = make_train_step(spec, loss_fn, opt)
+    tstate, metrics = step(tstate, jnp.asarray(crops), jnp.asarray(labels))
     assert np.isfinite(float(metrics["loss"]))
 
 

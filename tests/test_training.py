@@ -78,6 +78,16 @@ def test_loss_parity_with_reference(rng, method, pi):
         assert np.isclose(float(metrics[k]), v, rtol=2e-4, atol=2e-5), (
             k, float(metrics[k]), v)
 
+    # the same batch with positives SHUFFLED through it and labels passed
+    # as a vector (the reference's Y semantics, and what training now
+    # feeds per Bernoulli-composed batch) gives the identical loss
+    perm = rng.permutation(len(scores))
+    _, _, m_shuf = loss_fn(jnp.asarray(scores[perm]),
+                           jnp.asarray(labels[perm]), init_method_state(pi))
+    for k, v in ref_metrics.items():
+        assert np.isclose(float(m_shuf[k]), v, rtol=2e-4, atol=2e-5), (
+            "shuffled-labels", k, float(m_shuf[k]), v)
+
 
 def test_adjust_method_fallback():
     from topaz_tpu.training import adjust_method

@@ -225,11 +225,13 @@ def make_halo_denoiser(meta: Dict, params, mesh: Mesh, halo: int = 256,
 # data-parallel training step (multi-chip config for dryrun/bench)
 # ---------------------------------------------------------------------------
 
-def make_dp_train_step(spec, loss_fn, optimizer, n_pos: int, mesh: Mesh,
+def make_dp_train_step(spec, loss_fn, optimizer, mesh: Mesh,
                        l2: float = 0.0, precision=None):
     """Training step with the crop batch sharded over 'data' and params
-    replicated; XLA inserts the gradient all-reduce over ICI."""
+    replicated; XLA inserts the gradient all-reduce over ICI. The step
+    takes (state, crops, labels) — labels shard with their crops, so no
+    cross-shard reordering is needed for the P/U losses."""
     from topaz_tpu.train.trainer import make_train_step
 
-    return make_train_step(spec, loss_fn, optimizer, n_pos, l2=l2, mesh=mesh,
+    return make_train_step(spec, loss_fn, optimizer, l2=l2, mesh=mesh,
                            precision=precision)

@@ -56,7 +56,6 @@ def make_train_step(
     spec: PickerSpec,
     loss_fn,
     optimizer: optax.GradientTransformation,
-    n_pos: int,
     l2: float = 0.0,
     mesh: Optional[jax.sharding.Mesh] = None,
     precision=None,
@@ -65,8 +64,12 @@ def make_train_step(
 ):
     """Build the jitted train step.
 
-    The step takes raw over-sized crops (B, S, S); augmentation (rotation /
-    flips / center crop to the receptive field) runs on device.
+    The step takes raw over-sized crops (B, S, S) plus their labels (B,);
+    augmentation (rotation / flips / center crop to the receptive field)
+    runs on device. Labels travel with the crops, so batch composition may
+    vary per batch (the reference's per-item Bernoulli ``positive_balance``,
+    utils/data/memory_mapped_data.py:210-216) and multi-host shards need no
+    reordering — each process's labels shard alongside its crops.
     When ``mesh`` is given, the batch is sharded over its 'data' axis.
     With ``autoencoder > 0`` the params tree carries a 'generative' decoder
     and the loss adds the weighted reconstruction error
@@ -78,14 +81,9 @@ def make_train_step(
     # (crop+1 for even crops, rotate=False samplers) is center-cropped
     # without rotating — the decision is static at trace time
     rotate_threshold = int(np.ceil(crop * np.sqrt(2)))
-    # multi-host: the global batch is the concatenation of per-process
-    # local batches, EACH leading with its own n_pos positives — the
-    # positional P/U contract (methods.py) must see all positives first,
-    # so the (tiny) score vector is reordered with a static gather and the
-    # effective positive count becomes n_pos * process_count
-    nproc = jax.process_count() if mesh is not None else 1
 
-    def loss_and_metrics(params, model_state, crops, rng, method_state):
+    def loss_and_metrics(params, model_state, crops, labels, rng,
+                         method_state):
         k_aug, k_drop = jax.random.split(rng)
         if crops.shape[1:] == (crop,) * spec.dims:
             # sampler delivered final-size crops (2D fused native path, or
@@ -102,18 +100,8 @@ def make_train_step(
             dropout_rng=k_drop, precision=precision, return_latent=True,
         )
         score = score.reshape(-1)
-        if nproc > 1:
-            B = score.shape[0]
-            lb = B // nproc
-            pos = np.concatenate(
-                [np.arange(p * lb, p * lb + n_pos) for p in range(nproc)])
-            unl = np.setdiff1d(np.arange(B), pos)
-            score = score[np.concatenate([pos, unl])]
-            loss, new_method_state, metrics = loss_fn(
-                score, n_pos * nproc, method_state)
-        else:
-            loss, new_method_state, metrics = loss_fn(score, n_pos,
-                                                      method_state)
+        loss, new_method_state, metrics = loss_fn(score, labels,
+                                                  method_state)
         if autoencoder > 0:
             from topaz_tpu.models.generative import apply_generator
 
@@ -132,11 +120,13 @@ def make_train_step(
             loss = loss + _l2_penalty(params, l2)
         return loss, (new_model_state, new_method_state, metrics)
 
-    def step(state: TrainState, crops: jnp.ndarray) -> Tuple[TrainState, Dict]:
+    def step(state: TrainState, crops: jnp.ndarray,
+             labels: jnp.ndarray) -> Tuple[TrainState, Dict]:
         rng, sub = jax.random.split(state.rng)
         grads, (model_state, method_state, metrics) = jax.grad(
             loss_and_metrics, has_aux=True
-        )(state.params, state.model_state, crops, sub, state.method_state)
+        )(state.params, state.model_state, crops, labels, sub,
+          state.method_state)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, model_state, opt_state, method_state, rng), metrics
@@ -147,22 +137,27 @@ def make_train_step(
         data_sharding = NamedSharding(mesh, P("data"))
         replicated = NamedSharding(mesh, P())
 
-        def sharded_step(state, crops):
+        def sharded_step(state, crops, labels):
             crops = jax.lax.with_sharding_constraint(crops, data_sharding)
-            return step(state, crops)
+            labels = jax.lax.with_sharding_constraint(labels, data_sharding)
+            return step(state, crops, labels)
 
         jitted = jax.jit(sharded_step, donate_argnums=(0,),
                          out_shardings=(replicated, replicated))
 
-        def run(state, crops):
+        def run(state, crops, labels):
+            labels = np.asarray(labels, np.float32)
             if jax.process_count() > 1:
                 # multi-host: each process feeds its local shard of the
                 # global batch (SURVEY 2.8 distributed backend)
                 crops = jax.make_array_from_process_local_data(
                     data_sharding, np.asarray(crops))
+                labels = jax.make_array_from_process_local_data(
+                    data_sharding, labels)
             else:
                 crops = jax.device_put(crops, data_sharding)
-            return jitted(state, crops)
+                labels = jax.device_put(labels, data_sharding)
+            return jitted(state, crops, labels)
 
         return run
 

@@ -288,7 +288,6 @@ def train_model(args, output=None):
                f"{len(test_targets)} labeled particles")
 
     balance = (num_positive / total_regions) if args.natural else args.minibatch_balance
-    n_pos = max(1, int(round(args.minibatch_size * balance))) if balance else 0
 
     # optional autoencoder regularizer (topaz/training.py:339-345)
     gen_width = 0
@@ -325,7 +324,7 @@ def train_model(args, output=None):
         resolve_devices(dev_flag)
 
     optimizer = make_optimizer(args.learning_rate, "adam")
-    step_fn = make_train_step(spec, loss_fn, optimizer, n_pos, l2=args.l2,
+    step_fn = make_train_step(spec, loss_fn, optimizer, l2=args.l2,
                               autoencoder=args.autoencoder,
                               generator_width=gen_width, mesh=mesh)
     state = init_train_state(spec, params, model_state, optimizer, pi_adj,
@@ -392,8 +391,15 @@ def train_model(args, output=None):
             # the sampler rng state is captured AFTER each draw so a
             # mid-epoch checkpoint resumes on exactly the next batch the
             # uninterrupted run would have drawn (prefetched-but-unconsumed
-            # batches are not skipped)
+            # batches are not skipped).
+            # Batch composition is per-item Bernoulli like the reference
+            # (positive_balance, utils/data/memory_mapped_data.py:210-216):
+            # the positive count is Binomial(B, balance) per batch, drawn
+            # from the sampler's own stream so resume stays bit-exact.
             for _ in range(n):
+                n_pos = (int(sampler.rng.binomial(args.minibatch_size,
+                                                  balance))
+                         if balance else 0)
                 batch = sampler.sample_batch(args.minibatch_size, n_pos)
                 yield batch, copy.deepcopy(sampler.rng.bit_generator.state)
 
@@ -406,9 +412,9 @@ def train_model(args, output=None):
         pending: deque = deque()
         step_in_epoch = start_step if epoch == start_epoch else 0
         rng_state = None
-        for (crops, _labels), rng_state in iterate_prefetched(_producer,
-                                                              maxsize=4):
-            state, metrics = step_fn(state, crops)
+        for (crops, labels), rng_state in iterate_prefetched(_producer,
+                                                             maxsize=4):
+            state, metrics = step_fn(state, crops, labels)
             pending.append((epoch, it,
                             jnp.stack([metrics[h] for h in plain_cols])))
             if len(pending) > depth:
