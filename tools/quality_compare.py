@@ -188,9 +188,13 @@ def _stub_torchvision():
     from scipy import ndimage
 
     def rotate(img, angle):
+        # order=0: torchvision.transforms.functional.rotate defaults to
+        # InterpolationMode.NEAREST — a bilinear stub would hand the
+        # reference smoother (denoised) augmented crops than it really
+        # trains on
         arr = img.numpy()
         out = ndimage.rotate(arr, angle, axes=(-1, -2), reshape=False,
-                             order=1, mode="constant")
+                             order=0, mode="constant")
         return torch.from_numpy(np.ascontiguousarray(out))
 
     def hflip(img):
