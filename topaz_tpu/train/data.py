@@ -13,10 +13,14 @@ Sampling semantics preserved:
     (memory_mapped_data.py:79-100)
   * crops are zero-padded at image edges (memory_mapped_data.py:45-70)
 
-One deliberate divergence: batches have a fixed positive count
-round(batch * balance) instead of per-item Bernoulli draws — same
-expectation, lower variance, and it gives the jitted objectives a static
-positive/unlabeled split.
+Batch composition matches the reference's per-item Bernoulli
+``positive_balance`` draw (memory_mapped_data.py:210-216): the caller
+passes a Binomial(batch, balance) positive count per batch (training.py)
+and the labels vector travels with the crops into the jitted objectives
+(train/methods.py masked reductions — shapes stay static). A fixed
+round(batch * balance) count was tried first and retired: its
+lower-variance GE-binomial gradients overtrained at the published
+protocol (PARITY.md divergence 8).
 """
 
 from __future__ import annotations
