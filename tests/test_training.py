@@ -103,6 +103,26 @@ def test_adjust_method_fallback():
     assert m == "PU" and pi == 0.05
 
 
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+def test_pixels_given_radius_reference_exact():
+    """pi/p_observed bookkeeping must be reference-EXACT, including the
+    reference's 2D over-count (topaz/stats.py:17-25 sums the disk mask
+    over a 3D meshgrid even for dims=2, giving (2r+1)x the disk area —
+    r=3: 203, not 29). The factor feeds pi, the GE prior, and the PN
+    fallback weighting; the true-area count trains with a 7x smaller
+    positive weight and measurably lower AP (PARITY.md round-4 table)."""
+    from topaz_tpu.preprocess import calculate_pi, pixels_given_radius
+
+    ref_stats = ref_module("topaz.stats")
+    for r in (1, 2, 3, 5, 7, 14):
+        for d in (2, 3):
+            assert pixels_given_radius(r, d) == ref_stats.pixels_given_radius(r, d)
+            assert np.isclose(
+                calculate_pi(20.0, r, 2**19, d),
+                ref_stats.calculate_pi(20.0, r, 2**19, d))
+    assert pixels_given_radius(3, 2) == 203  # not the true disk area (29)
+
+
 def _make_synthetic_dataset(tmp_path, rng, n_images=2, size=160, n_particles=6):
     from topaz_tpu.io import mrc
 

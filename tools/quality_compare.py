@@ -296,6 +296,13 @@ def main():
                          "10, no crowding/defocus spread, u16 batch 64) "
                          "for the historical record")
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--skip-ours", action="store_true",
+                    help="reference side only (extend the seed table "
+                         "without re-running ours)")
+    ap.add_argument("--seed-start", type=int, default=0,
+                    help="first seed (seeds run [seed-start, "
+                         "seed-start+--seeds)); per-seed datasets are "
+                         "deterministic so tables extend consistently")
     opts = ap.parse_args()
     EPOCHS = opts.epochs
     EPOCH_SIZE = opts.epoch_size
@@ -316,16 +323,18 @@ def main():
                f"balance 0.0625 lr 2e-4 r={TRAIN_RADIUS}, "
                f"{EPOCHS}x{EPOCH_SIZE} steps, eval r={RADIUS_DS}"}
     with tempfile.TemporaryDirectory(prefix="topaz_quality_") as tmp:
-        for seed in range(opts.seeds):
+        for seed in range(opts.seed_start, opts.seed_start + opts.seeds):
             train_dir, t_train, test_dir, t_test = make_dataset(tmp, seed)
-            spec, params, state, wall = run_ours(tmp, seed, train_dir,
-                                                 t_train)
-            picks = picks_ours(spec, params, state, test_dir)
-            ap_ours = eval_ap(picks, t_test, RADIUS_DS)
-            results["ours"].append({"seed": seed, "ap": round(ap_ours, 4),
-                                    "train_sec": round(wall, 1)})
-            print(f"# ours seed {seed}: AP={ap_ours:.4f} ({wall:.0f}s)",
-                  file=sys.stderr, flush=True)
+            if not opts.skip_ours:
+                spec, params, state, wall = run_ours(tmp, seed, train_dir,
+                                                     t_train)
+                picks = picks_ours(spec, params, state, test_dir)
+                ap_ours = eval_ap(picks, t_test, RADIUS_DS)
+                results["ours"].append(
+                    {"seed": seed, "ap": round(ap_ours, 4),
+                     "train_sec": round(wall, 1)})
+                print(f"# ours seed {seed}: AP={ap_ours:.4f} ({wall:.0f}s)",
+                      file=sys.stderr, flush=True)
             if not opts.skip_reference:
                 ref_picks, ref_wall = run_reference(tmp, seed, train_dir,
                                                     t_train, test_dir)

@@ -21,17 +21,26 @@ from topaz_tpu.ops.gmm import normalize
 
 
 def pixels_given_radius(radius: int, dims: int = 2) -> int:
-    """Number of integer pixels within ``radius`` (topaz/stats.py:17-25)."""
+    """Per-particle pixel count used by the pi/p_observed bookkeeping,
+    REFERENCE-EXACT including its 2D bug (topaz/stats.py:17-25): the
+    reference builds a 3D meshgrid even for dims=2 and sums the 2D disk
+    mask over all 2r+1 z-planes, so its 2D count is (2r+1)x the true disk
+    area (r=3: 203, not 29). pi, p_observed, the GE prior, and the
+    GE->PN fallback weighting all inherit that factor, so matching it is
+    what keeps ``-n``/``--pi`` semantics (and every published pi-tuning
+    recipe) identical across stacks — measured on the hardened CTF
+    fixture, the true-area count trains PN with a 7x smaller positive
+    weight and loses ~0.05 AP at the published protocol (PARITY.md round-4
+    table). Training LABELS are unaffected either way: the reference
+    expands targets with a true 2D disk (train/data.expand_target_points
+    matches), only this bookkeeping over-counts."""
     grid = np.arange(-radius, radius + 1)
-    if dims == 2:
-        d2 = grid[:, None] ** 2 + grid[None, :] ** 2
-    else:
-        d2 = (
-            grid[:, None, None] ** 2
-            + grid[None, :, None] ** 2
-            + grid[None, None, :] ** 2
-        )
-    return int((d2 <= radius**2).sum())
+    d2 = grid[:, None] ** 2 + grid[None, :] ** 2
+    if dims == 3:
+        d2 = d2[:, :, None] + grid[None, None, :] ** 2
+        return int((d2 <= radius**2).sum())
+    disk = int((d2 <= radius**2).sum())
+    return disk * (2 * radius + 1)
 
 
 def calculate_pi(expected_num_particles: float, radius: int, total_pixels: int,
