@@ -148,7 +148,10 @@ def run_ours(tmp, seed, train_dir, t_train):
     t0 = time.time()
     train_from_args(args)
     wall = time.time() - t0
-    ckpt = sorted(glob.glob(os.path.join(tmp, f"ours{seed}_epoch*.npz")))[-1]
+    # numeric epoch sort — lexically, epoch9 > epoch10 and the final
+    # model would be the epoch-9 checkpoint
+    ckpt = max(glob.glob(os.path.join(tmp, f"ours{seed}_epoch*.npz")),
+               key=lambda p: int(p.rsplit("epoch", 1)[1].split(".")[0]))
 
     # extract picks from the test micrographs
     from topaz_tpu.models.factory import load_picker
