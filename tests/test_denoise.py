@@ -55,6 +55,35 @@ def test_pretrained_denoiser_parity(rng, alias):
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
 
 
+def test_denoise_stream_overlapped_io(rng, tmp_path):
+    """The prefetch+writer-thread stream writes every file and returns the
+    denoised images in order; a failing save surfaces as an exception."""
+    from topaz_tpu.denoise import Denoise, denoise_stream
+    from topaz_tpu.io import mrc
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"m{i}.mrc"
+        mrc.write(str(p), rng.normal(size=(48, 40)).astype(np.float32) + i)
+        paths.append(str(p))
+
+    dn = Denoise("affine")
+    outdir = tmp_path / "out"
+    outs = denoise_stream(paths, str(outdir), models=[dn], patch_size=-1)
+    assert len(outs) == 3
+    for i, p in enumerate(paths):
+        expect = dn.denoise(
+            (lambda x: (x - x.mean()) / x.std())(mrc.read(p)[0]))
+        got = mrc.read(str(outdir / f"m{i}.mrc"))[0]
+        ref = mrc.read(p)[0]
+        np.testing.assert_allclose(
+            got, ref.std() * expect + ref.mean(), rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(Exception):
+        denoise_stream(paths, str(tmp_path / "bad"), format="bogus",
+                       models=[dn], patch_size=-1)
+
+
 @pytest.mark.skipif(not reference_available(), reason="reference not mounted")
 @pytest.mark.parametrize("arch", ["unet2", "unet3"])
 def test_unet_variant_parity(rng, arch):

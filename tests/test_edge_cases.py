@@ -128,6 +128,22 @@ def test_window_batches_pads_partial():
     assert batches[-1][2] == [40, 40]  # padded by repetition
 
 
+def test_fetch_async_values_and_passthrough():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from topaz_tpu.utils.batching import fetch_async
+
+    dev = [jnp.full((3, 2), i, jnp.int32) for i in range(4)]
+    host = np.ones(2, np.float32)
+    out = fetch_async(dev[0], None, host, *dev[1:])
+    assert out[1] is None
+    np.testing.assert_array_equal(out[2], host)
+    for i, o in zip([0, 1, 2, 3], [out[0], out[3], out[4], out[5]]):
+        assert isinstance(o, np.ndarray)
+        np.testing.assert_array_equal(o, np.full((3, 2), i, np.int32))
+
+
 def test_valid_mask_2d_3d():
     import numpy as np
 

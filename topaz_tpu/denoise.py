@@ -865,28 +865,63 @@ def denoise_stream(micrographs: List[str], output_path: str, format: str = "mrc"
                    deconv_patch: int = 1, patch_size: int = 1024,
                    padding: int = 500, normalize: bool = False,
                    downsample: int = 1):
-    """Per-micrograph denoise + save (topaz/denoise.py:450-490)."""
+    """Per-micrograph denoise + save (topaz/denoise.py:450-490).
+
+    The reference loop is strictly serial. Here the next micrograph loads
+    in a prefetch thread and the previous one saves in a writer thread, so
+    host I/O overlaps device compute (the device is busy ~300 ms per 4k
+    frame — exactly the window a 64 MB MRC read or write needs on a slow
+    host). Save errors surface on the next iteration (or at return)."""
+    import concurrent.futures as cf
+
+    from topaz_tpu.utils.batching import iterate_prefetched
+
     total, count = len(micrographs), 0
     denoised = []
     if output_path:
         os.makedirs(output_path, exist_ok=True)
-    for path in micrographs:
-        name = os.path.splitext(os.path.basename(path))[0]
-        image, header, ext_header = load_image(path, return_header=True)
-        out = denoise_image(image, models, lowpass=lowpass, cutoff=pixel_cutoff,
-                            gaus=gaus, inv_gaus=inv_gaus, deconvolve=deconvolve,
-                            deconv_patch=deconv_patch, patch_size=patch_size,
-                            padding=padding, normalize=normalize,
-                            downsample=downsample)
-        denoised.append(out)
-        if not output_path:
-            sfx = suffix or ".denoised"
-            outpath = os.path.splitext(path)[0] + sfx + "." + format
-        else:
-            outpath = os.path.join(output_path, name + suffix + "." + format)
-        save_image(out, outpath, header=header, extended_header=ext_header)
-        count += 1
-        print(f"# {count} of {total} completed.", file=sys.stderr, end="\r")
+
+    def produce():
+        for path in micrographs:
+            name = os.path.splitext(os.path.basename(path))[0]
+            image, header, ext_header = load_image(path, return_header=True)
+            yield path, name, image, header, ext_header
+
+    writer = cf.ThreadPoolExecutor(max_workers=1)
+    pending: List = []
+
+    def surface_save_errors(block: bool = False):
+        for f in list(pending):
+            if block or f.done():
+                f.result()  # re-raises a failed save
+                pending.remove(f)
+
+    try:
+        for path, name, image, header, ext_header in iterate_prefetched(
+                produce, maxsize=2):
+            out = denoise_image(image, models, lowpass=lowpass,
+                                cutoff=pixel_cutoff, gaus=gaus,
+                                inv_gaus=inv_gaus, deconvolve=deconvolve,
+                                deconv_patch=deconv_patch,
+                                patch_size=patch_size, padding=padding,
+                                normalize=normalize, downsample=downsample)
+            denoised.append(out)
+            if not output_path:
+                sfx = suffix or ".denoised"
+                outpath = os.path.splitext(path)[0] + sfx + "." + format
+            else:
+                outpath = os.path.join(output_path,
+                                       name + suffix + "." + format)
+            surface_save_errors()
+            pending.append(writer.submit(save_image, out, outpath,
+                                         header=header,
+                                         extended_header=ext_header))
+            count += 1
+            print(f"# {count} of {total} completed.", file=sys.stderr,
+                  end="\r")
+        surface_save_errors(block=True)
+    finally:
+        writer.shutdown(wait=True)
     print("", file=sys.stderr)
     return denoised
 

@@ -413,10 +413,12 @@ class MicrographPipeline:
                     # the per-batch number includes device compute
                     sync_for_timing(out)
                 # fetch inside the retried scope: a dropped transport can
-                # surface at the copy-out, not the dispatch
-                return (np.asarray(out[0]), np.asarray(out[1]),
-                        np.asarray(out[2]), np.asarray(out[3]),
-                        np.asarray(out[4]) if len(out) > 4 else None)
+                # surface at the copy-out, not the dispatch; overlap the
+                # copies (one RTT total, not one per output tensor)
+                from topaz_tpu.utils.batching import fetch_async
+
+                return fetch_async(out[0], out[1], out[2], out[3],
+                                   out[4] if len(out) > 4 else None)
 
             from topaz_tpu.utils.retry import retry_transient
 
