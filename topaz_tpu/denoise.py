@@ -364,10 +364,15 @@ class Denoise:
         return (self.denoise_patches(x, patch_size, padding=padding)
                 if use_patch else self._apply(x))
 
-    def denoise_batch(self, frames: np.ndarray) -> np.ndarray:
+    def denoise_batch(self, frames: np.ndarray,
+                      as_numpy: bool = True) -> np.ndarray:
         """Denoise a (B, H, W) batch of same-shape frames in one program
         with per-frame statistics — TPU-build extension used by the stack
-        driver to amortize dispatch over movie frames."""
+        driver to amortize dispatch over movie frames.
+
+        ``as_numpy=False`` returns the device array without blocking so a
+        caller can overlap the device→host copy of this chunk with the
+        next chunk's compute (denoise_stack's pipelined loop)."""
         import jax
         import jax.numpy as jnp
 
@@ -393,8 +398,14 @@ class Denoise:
             self._jit_cache[key] = jit_sharded_args(fn, mesh,
                                                     ("rep", "data"))
         try:
-            return np.asarray(self._jit_cache[key](self.params,
-                                                   jnp.asarray(frames)))
+            y = self._jit_cache[key](self.params, jnp.asarray(frames))
+            if as_numpy:
+                return np.asarray(y)
+            # force execution errors (OOM) to surface inside this try so
+            # the fallback below still engages; the device→host copy
+            # itself stays async for the caller to overlap
+            jax.block_until_ready(y)
+            return y
         except Exception as e:  # noqa: BLE001 — filtered to OOM below
             if not _is_hbm_oom(e):
                 raise
@@ -948,6 +959,18 @@ def denoise_stack(path: str, output_path: str, models: List[Denoise],
         model = models[0]
         denoised = np.zeros_like(stack, dtype=np.float32)
         B = 8
+
+        def land(start, n_real, out_dev):
+            out = np.asarray(out_dev)
+            if normalize:
+                m2 = out.mean(axis=(1, 2), keepdims=True)
+                s2 = out.std(axis=(1, 2), keepdims=True)
+                out = (out - m2) / s2
+            denoised[start : start + n_real] = out[:n_real]
+            print(f"# {min(start + n_real, len(stack))} of {len(stack)} "
+                  f"completed.", file=sys.stderr, end="\r")
+
+        pending = None  # previous chunk, device→host copy in flight
         for start in range(0, len(stack), B):
             chunk = np.asarray(stack[start : start + B], dtype=np.float32)
             n_real = len(chunk)
@@ -957,15 +980,17 @@ def denoise_stack(path: str, output_path: str, models: List[Denoise],
             # denoise_batch standardizes and restores per-frame statistics
             # on device; feeding raw frames avoids a redundant host-side
             # full-frame stats pass (standardizing the output below is
-            # invariant under the per-frame affine restore)
-            out = model.denoise_batch(chunk)
-            if normalize:
-                m2 = out.mean(axis=(1, 2), keepdims=True)
-                s2 = out.std(axis=(1, 2), keepdims=True)
-                out = (out - m2) / s2
-            denoised[start : start + n_real] = out[:n_real]
-            print(f"# {min(start + n_real, len(stack))} of {len(stack)} "
-                  f"completed.", file=sys.stderr, end="\r")
+            # invariant under the per-frame affine restore). The previous
+            # chunk's copy-out overlaps this chunk's compute: its async
+            # copy was issued before this dispatch, and it lands after.
+            out_dev = model.denoise_batch(chunk, as_numpy=False)
+            if hasattr(out_dev, "copy_to_host_async"):
+                out_dev.copy_to_host_async()
+            if pending is not None:
+                land(*pending)
+            pending = (start, n_real, out_dev)
+        if pending is not None:
+            land(*pending)
         print("", file=sys.stderr)
         print("# writing to", output_path, file=sys.stderr)
         mrc.write(output_path, denoised, header=header,
