@@ -74,6 +74,17 @@ def test_metrics_prometheus_exposition(server, tmp_path, rng):
     assert sample["topaz_extract_requests_total"] == service.n_extracted >= 1
     assert sample["topaz_queue_capacity"] == service.queue_depth
     assert sample["topaz_uptime_seconds"] > 0
+    # latency histogram (VERDICT r4 item 6): cumulative buckets per kind,
+    # +Inf bucket == count, and the extract we just served is observed
+    assert "# TYPE topaz_request_duration_seconds histogram" in lines
+    inf = sample['topaz_request_duration_seconds_bucket{kind="extract",le="+Inf"}']
+    cnt = sample['topaz_request_duration_seconds_count{kind="extract"}']
+    assert inf == cnt >= 1
+    assert sample['topaz_request_duration_seconds_sum{kind="extract"}'] > 0
+    buckets = [v for k, v in sample.items()
+               if k.startswith('topaz_request_duration_seconds_bucket'
+                               '{kind="extract"')]
+    assert buckets == sorted(buckets)  # cumulative
 
 
 def test_extract_matches_direct_pipeline(server, tmp_path, rng):
@@ -399,3 +410,98 @@ def test_serve_cli_registration():
     args = parser.parse_args(["serve", "--port", "0", "-m", "resnet8_u32",
                               "-s", "4", "-t", "-5", "--fast"])
     assert args.port == 0 and args.scale == 4 and args.fast
+
+
+def test_abandoned_queued_job_never_reaches_device(tmp_path, rng):
+    """VERDICT r4 item 6, congestion side of the race window: a job that
+    504s while still QUEUED (worker busy on an earlier batch, job not yet
+    committed/started) is classified as queue congestion — no worker
+    restart — and is dropped at batch-commit time, so the device never
+    executes work whose submitter already left."""
+    import time as _time
+
+    from topaz_tpu.serve import TopazService, _Timeout
+
+    service = TopazService(model="resnet8_u32", scale=1, radius=6,
+                           threshold=1.0, device_timeout=60.0,
+                           batch_window_ms=0.0)
+    calls = []
+    release = threading.Event()
+
+    def fake_process(paths, batch_size=None, **kw):
+        calls.append(list(paths))
+        if len(calls) == 1:
+            release.wait(timeout=60)
+        return [(p, np.zeros(1, np.float32), np.zeros((1, 2), int))
+                for p in paths]
+
+    service.pipe.process = fake_process
+    try:
+        results = {}
+        t1 = threading.Thread(
+            target=lambda: results.update(a=service.extract("job1")))
+        t1.start()
+        for _ in range(200):  # wait until the worker is wedged inside job1
+            if calls:
+                break
+            _time.sleep(0.01)
+        assert calls, "worker never picked up job1"
+
+        # job2 times out while queued behind the wedge
+        service.device_timeout = 0.3
+        with pytest.raises(_Timeout):
+            service.extract("job2")
+        # race-free classification: not started => congestion, no restart
+        assert service.n_worker_restarts == 0
+        assert service.n_timeouts == 1
+
+        # unwedge; job1 completes, job2 must be dropped, job3 served
+        service.device_timeout = 60.0
+        release.set()
+        t1.join(timeout=30)
+        assert "a" in results and len(results["a"][0]) == 1
+        s3, _ = service.extract("job3")
+        assert len(s3) == 1
+        assert all("job2" not in batch for batch in calls), calls
+        assert service._worker.is_alive() and not service._suspect_workers()
+    finally:
+        release.set()
+        service.close()
+
+
+def test_denoise_batch_stops_for_abandoned_jobs(tmp_path, rng):
+    """VERDICT r4 item 6, abandoned-work side: a denoise job 504'd while
+    an earlier shape group of the same batch is executing is skipped
+    before its own device call (checked between groups), not run to
+    completion for nobody."""
+    from topaz_tpu.io import mrc
+    from topaz_tpu.serve import TopazService, _Job
+
+    p1 = tmp_path / "a.mrc"
+    p2 = tmp_path / "b.mrc"
+    mrc.write(str(p1), rng.normal(0, 1, (32, 32)).astype(np.float32))
+    mrc.write(str(p2), rng.normal(0, 1, (48, 48)).astype(np.float32))
+
+    service = TopazService(model="resnet8_u32", scale=1, radius=6,
+                           threshold=1.0)
+    service.close()  # unit-level: drive _run_denoise_batch directly
+    j1, j2 = _Job("denoise", str(p1)), _Job("denoise", str(p2))
+
+    class FakeDenoiser:
+        calls = 0
+
+        def denoise(self, x, patch_size=0):
+            FakeDenoiser.calls += 1
+            j2.abandoned = True  # j2's submitter 504s mid-group-1
+            return x
+
+        def denoise_batch(self, xs):
+            FakeDenoiser.calls += 1
+            j2.abandoned = True
+            return xs
+
+    service._denoiser = FakeDenoiser()
+    service._run_denoise_batch([j1, j2])
+    assert FakeDenoiser.calls == 1  # group 2 never hit the device
+    assert j1.done.is_set() and j1.error is None
+    assert not j2.done.is_set()

@@ -50,9 +50,12 @@ forever, and — when the worker was actually *executing* that job (a
 wedged compile/transfer, the documented failure mode of remote-attached
 chips) — the worker thread is abandoned and replaced, so the NEXT
 request is served by a fresh worker rather than waiting behind the
-wedge. /metrics counts ``device_timeouts_total`` and
-``worker_restarts_total``; /healthz reports any abandoned worker threads
-still alive.
+wedge. A job whose submitter already timed out is dropped before (and,
+for multi-group denoise batches, between) device calls instead of
+running to completion for nobody. /metrics counts
+``device_timeouts_total`` and ``worker_restarts_total`` and exposes a
+``request_duration_seconds`` latency histogram per request kind;
+/healthz reports any abandoned worker threads still alive.
 """
 
 from __future__ import annotations
@@ -86,9 +89,16 @@ class _Job:
     """One queued device request; the HTTP thread blocks on ``done``.
     ``abandoned`` is set by the submitter when its deadline expires: a
     worker that dequeues (or eventually finishes) an abandoned job
-    discards it — nobody is waiting for the answer anymore."""
+    discards it — nobody is waiting for the answer anymore.
+    ``started`` is set by the worker (under the service lock, together
+    with ``_current``) at the moment the batch is committed for device
+    execution: the watchdog classifies started-and-not-done as a wedged
+    device call, not-started as queue congestion — with both transitions
+    under one lock there is no window in which a wedged worker can be
+    misread as congestion."""
 
-    __slots__ = ("kind", "path", "done", "result", "error", "abandoned")
+    __slots__ = ("kind", "path", "done", "result", "error", "abandoned",
+                 "started")
 
     def __init__(self, kind: str, path: str):
         self.kind = kind
@@ -97,6 +107,7 @@ class _Job:
         self.result = None
         self.error: Optional[Exception] = None
         self.abandoned = False
+        self.started = False
 
 
 class _Busy(Exception):
@@ -159,6 +170,13 @@ class TopazService:
         self.max_denoise_batch_seen = 0
         self.n_timeouts = 0
         self.n_worker_restarts = 0
+        # request latency histogram (submit -> result), Prometheus
+        # cumulative-bucket convention, per request kind
+        self._lat_buckets = (0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0,
+                             60.0, 120.0, 300.0)
+        self._lat = {k: {"counts": [0] * (len(self._lat_buckets) + 1),
+                         "sum": 0.0, "n": 0}
+                     for k in ("extract", "denoise")}
         self._lock = threading.Lock()  # guards queue swap + submit
         self._current = None  # the batch the worker is executing right now
         self._abandoned_workers: list = []  # replaced threads, maybe wedged
@@ -199,12 +217,24 @@ class TopazService:
                 if nxt.abandoned:
                     continue
                 batch.append(nxt)
-            self._current = batch
+            # commit the batch under the lock: drop jobs 504'd during the
+            # collection window (their submitter already left — running
+            # them would burn chip time nobody reads) and mark the rest
+            # started, so the watchdog's wedged-vs-congestion call is
+            # race-free (see _Job.started)
+            with self._lock:
+                batch = [j for j in batch if not j.abandoned]
+                for j in batch:
+                    j.started = True
+                self._current = batch or None
+            if not batch:
+                continue
             if job.kind == "extract":
                 self._run_extract_batch(batch)
             else:
                 self._run_denoise_batch(batch)
-            self._current = None
+            with self._lock:
+                self._current = None
             if pending is _SHUTDOWN:
                 return
 
@@ -253,6 +283,11 @@ class TopazService:
             key = x.shape if x.ndim == 2 else None  # stacks stay singleton
             groups.setdefault(key, []).append((j, x))
         for shape, items in groups.items():
+            # re-check between device calls: a job 504'd while an earlier
+            # group was executing stops here instead of burning chip time
+            items = [(j, x) for j, x in items if not j.abandoned]
+            if not items:
+                continue
             try:
                 if shape is not None and len(items) > 1:
                     ys = self._get_denoiser().denoise_batch(
@@ -265,6 +300,8 @@ class TopazService:
                         j.done.set()
                 else:
                     for j, x in items:
+                        if j.abandoned:
+                            continue
                         j.result = np.asarray(
                             self._get_denoiser().denoise(x, patch_size=0),
                             dtype=np.float32)
@@ -275,13 +312,26 @@ class TopazService:
                         j.error = e
                         j.done.set()
 
+    def _observe_latency(self, kind: str, seconds: float):
+        with self._lock:
+            h = self._lat[kind]
+            i = 0
+            while (i < len(self._lat_buckets)
+                   and seconds > self._lat_buckets[i]):
+                i += 1
+            h["counts"][i] += 1
+            h["sum"] += seconds
+            h["n"] += 1
+
     def _submit(self, job: _Job):
         with self._lock:
             q = self._queue
             if q.qsize() >= self.queue_depth:
                 raise _Busy(q.qsize())
             q.put(job)
+        t0 = time.monotonic()
         if job.done.wait(self.device_timeout or None):
+            self._observe_latency(job.kind, time.monotonic() - t0)
             if job.error is not None:
                 raise job.error
             return job.result
@@ -300,11 +350,15 @@ class TopazService:
         any still-pending jobs to a fresh queue, and start a fresh worker
         so subsequent requests are not stuck behind the wedge."""
         with self._lock:
-            current = self._current
             if job.done.is_set():  # finished in the race window after wait
                 return
-            if not (current is not None and job in current
-                    and self._worker.is_alive()):
+            # ``started`` flips under this lock together with ``_current``
+            # (_device_loop), so the classification is race-free: started
+            # and not done means the worker is wedged inside the device
+            # call for this batch; not started means the job never reached
+            # the device (congestion) — and, being abandoned, it will be
+            # dropped at batch-commit time instead of executed
+            if not (job.started and self._worker.is_alive()):
                 return  # just queue congestion; the worker is healthy
             old_q, new_q = self._queue, queue.Queue()
             try:
@@ -441,6 +495,25 @@ class TopazService:
              self._queue.qsize())
         emit("queue_capacity", "gauge",
              "queue depth at which requests get 503", self.queue_depth)
+        # request latency histogram (Prometheus cumulative buckets)
+        lines.append("# HELP topaz_request_duration_seconds request "
+                     "latency from device-queue submit to result")
+        lines.append("# TYPE topaz_request_duration_seconds histogram")
+        with self._lock:
+            snap = {k: (list(h["counts"]), h["sum"], h["n"])
+                    for k, h in self._lat.items()}
+        for kind, (counts, total, n) in sorted(snap.items()):
+            cum = 0
+            for le, c in zip(self._lat_buckets, counts):
+                cum += c
+                lines.append(f'topaz_request_duration_seconds_bucket'
+                             f'{{kind="{kind}",le="{le:g}"}} {cum}')
+            lines.append(f'topaz_request_duration_seconds_bucket'
+                         f'{{kind="{kind}",le="+Inf"}} {n}')
+            lines.append(f'topaz_request_duration_seconds_sum'
+                         f'{{kind="{kind}"}} {total:.6f}')
+            lines.append(f'topaz_request_duration_seconds_count'
+                         f'{{kind="{kind}"}} {n}')
         return "\n".join(lines) + "\n"
 
 
