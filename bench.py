@@ -43,8 +43,11 @@ BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # Workload FLOP counts from XLA's cost analysis of the compiled programs
 # (tools/count_flops.py; backend-independent). Regenerate with
 #   JAX_PLATFORMS=cpu python tools/count_flops.py
+# (last regenerated at HEAD 2026-08-19, labels-vector step signature;
+#  tests/test_tools.py smoke-lowers the tool so a step refactor can't
+#  silently strand these constants again)
 DENOISE4K_FLOPS = 4.62152e12   # whole-image unet-v0.2.1 @ 4096^2
-TRAIN_STEP_FLOPS = 4.51092e10  # GE-binomial resnet8_u32 fwd+bwd+adam, b=256
+TRAIN_STEP_FLOPS = 4.51093e10  # GE-binomial resnet8_u32 fwd+bwd+adam, b=256
 
 
 def bench_matmul_peak() -> dict:

@@ -40,6 +40,9 @@ def denoise_flops(size: int) -> float:
 
 
 def train_step_flops(batch: int = 256) -> float:
+    """FLOPs of one labels-vector train step (the step signature is
+    ``step(st, crops, labels)`` since the per-item-Bernoulli batch
+    composition refactor, 0bec8a6 — labels travel with the crops)."""
     from topaz_tpu.models.factory import load_picker
     from topaz_tpu.train.methods import make_loss_fn
     from topaz_tpu.train.trainer import (init_train_state, make_optimizer,
@@ -48,10 +51,11 @@ def train_step_flops(batch: int = 256) -> float:
     spec, params, state = load_picker("resnet8_u32")
     loss_fn, _h, _s = make_loss_fn("GE-binomial", 0.025)
     opt = make_optimizer(2e-4, "adam")
-    step = make_train_step(spec, loss_fn, opt, n_pos=16)
+    step = make_train_step(spec, loss_fn, opt)
     st = init_train_state(spec, params, state, opt, 0.025)
     crops = jnp.zeros((batch, spec.width, spec.width), jnp.float32)
-    comp = jax.jit(step).lower(st, crops).compile()
+    labels = jnp.asarray((np.arange(batch) < 16), jnp.float32)
+    comp = jax.jit(step).lower(st, crops, labels).compile()
     return float(comp.cost_analysis()["flops"])
 
 
