@@ -817,3 +817,40 @@ def test_batch_oom_falls_back_to_per_frame(rng, capsys):
     assert "one at a time" in capsys.readouterr().err
     ref = np.stack([Denoise("affine")._apply(f) for f in frames])
     assert np.allclose(y, ref)
+
+
+def test_denoise2d_min_extent_guards(rng):
+    """2D inputs (or padded patches) below the arch's pooling minimum fail
+    with the clear named-flag error, mirroring the 3D guard (ADVICE r4):
+    whole images, the patch route, and the batch API."""
+    import pytest
+
+    from topaz_tpu.denoise import Denoise
+
+    den = Denoise.from_arch("unet", nf=4, base_width=7, seed=0)
+    tiny = rng.normal(size=(16, 64)).astype(np.float32)
+    with pytest.raises(ValueError, match="minimum input"):
+        den.denoise(tiny)
+    big = rng.normal(size=(128, 128)).astype(np.float32)
+    with pytest.raises(ValueError, match="minimum input"):
+        den.denoise(big, patch_size=8, padding=4)
+    with pytest.raises(ValueError, match="minimum input"):
+        den.denoise_batch(tiny[None])
+    # at/above the minimum both routes still run
+    ok = rng.normal(size=(32, 40)).astype(np.float32)
+    assert den.denoise(ok).shape == ok.shape
+
+
+def test_denoise_patches_resident_preserves_dtype(rng):
+    """The device-resident patch route returns the caller's dtype, same as
+    the streaming route's np.zeros_like contract (ADVICE r4): a float64
+    image must not come back float32 depending on routing."""
+    from topaz_tpu.denoise import Denoise
+
+    den = Denoise.from_arch("unet-small", nf=8, base_width=7, seed=3)
+    x64 = rng.normal(size=(160, 150)).astype(np.float64)
+    y_res = den._denoise_patches_resident(x64, 48, 16)
+    assert y_res is not None and y_res.dtype == np.float64
+    y_str = den._denoise_patches_stream(x64, 48, 16)
+    assert y_str.dtype == np.float64
+    assert np.allclose(y_res, y_str, atol=1e-5)

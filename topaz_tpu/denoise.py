@@ -331,10 +331,14 @@ class Denoise:
 
         try:
             # np.array (copy): the border writeback below mutates y, and
-            # np.asarray of a device array is a read-only view
+            # np.asarray of a device array is a read-only view. Cast back
+            # to the input dtype so this route matches the stream path's
+            # np.zeros_like(x) contract (a float64 caller must not see the
+            # dtype flip with image size / OOM routing).
             y = np.array(self._jit_cache[key](
                 self.params, jnp.asarray(x),
-                jnp.asarray(np.array(interior, np.int32))))
+                jnp.asarray(np.array(interior, np.int32)))).astype(
+                    x.dtype, copy=False)
         except Exception as e:  # noqa: BLE001 — filtered to OOM below
             if _is_hbm_oom(e):
                 self._jit_cache.pop(key, None)
@@ -361,6 +365,16 @@ class Denoise:
                 padding: int = 128) -> np.ndarray:
         s = patch_size + padding
         use_patch = patch_size > 0 and (s < x.shape[0] or s < x.shape[1])
+        # mirror the 3D path's guard (denoise:569): clear error instead of
+        # an empty-axis jit-tracing failure when the input (or the padded
+        # patch) is below the arch's pooling minimum
+        if use_patch:
+            _check_min_extent(self.meta, (patch_size + 2 * padding,) * 2,
+                              "inference patches", "-s/--patch-size")
+        else:
+            _check_min_extent(
+                self.meta, x.shape[-self.dims:], "images",
+                "the input size or pick a shallower arch (unet-small)")
         return (self.denoise_patches(x, patch_size, padding=padding)
                 if use_patch else self._apply(x))
 
@@ -373,6 +387,9 @@ class Denoise:
         ``as_numpy=False`` returns the device array without blocking so a
         caller can overlap the device→host copy of this chunk with the
         next chunk's compute (denoise_stack's pipelined loop)."""
+        _check_min_extent(self.meta, frames.shape[1 : 1 + self.dims],
+                          "frames", "the frame size or pick a shallower "
+                          "arch (unet-small)")
         import jax
         import jax.numpy as jnp
 
