@@ -571,8 +571,11 @@ def bench_pipeline(rng):
             h, wd = PIPELINE_GEOMETRIES[i % len(PIPELINE_GEOMETRIES)]
             px_total += h * wd
             x = rng.standard_normal((h, wd), dtype=np.float32)
-            cys = rng.integers(300, h - 300, size=40)
-            cxs = rng.integers(300, wd - 300, size=40)
+            # planting margin: 300 px at camera sizes, size-relative for
+            # shrunk smoke drives (never below the blob half-width)
+            my, mx = (min(300, max(w, d // 4)) for d in (h, wd))
+            cys = rng.integers(my, h - my, size=40)
+            cxs = rng.integers(mx, wd - mx, size=40)
             for cy, cx in zip(cys, cxs):
                 x[cy - w : cy + w, cx - w : cx + w] -= blob
             p = os.path.join(tmpdir, f"mic{i}.mrc")
