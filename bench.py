@@ -86,31 +86,45 @@ V5E_DATASHEET_HBM_GB_S = 819.0
 HBM_CAP_GB_S = 1.25 * V5E_DATASHEET_HBM_GB_S
 
 
-def bench_hbm_peak(reps: int = 5) -> dict:
-    """Measured HBM bandwidth of THIS chip: a single fused elementwise
-    pass (y = x + 1) over a 1 GiB f32 array — one read + one write of
-    every byte, no MXU. This is the roofline denominator for the
-    bandwidth-utilization numbers: the 4k U-Net's top levels are
-    HBM-bound (64ch x 4096^2 activations are ~2 GiB in bf16 per tensor),
-    so bytes/s — not FLOP/s — is the binding resource for denoise, and an
-    'MFU 0.2' there is the roofline, not a deficiency."""
+def bench_hbm_peak(reps: int = 3, k_small: int = 16,
+                   k_big: int = 256) -> dict:
+    """Measured HBM streaming bandwidth of THIS chip, by two-point
+    differencing: ONE compiled program runs ``k`` loop-carried
+    elementwise passes (y = y + 1) over a 1 GiB f32 array, with ``k`` a
+    traced scalar so the same executable is timed at k_small and k_big.
+    Each while-loop iteration reads + writes every byte (XLA cannot fuse
+    across the loop back edge), so bandwidth =
+    (k_big - k_small) * 2 GiB / (t_big - t_small) — the dispatch/fetch
+    RTT (~25-40 ms over the tunnel here) and any fixed per-call overhead
+    cancel in the difference. A naive single-pass version measured
+    "82 GB/s"; that was the RTT, not the memory system. This is the
+    roofline denominator for the bandwidth-utilization numbers: the 4k
+    U-Net's top levels are HBM-bound (64ch x 4096^2 activations are
+    ~2 GiB in bf16 per tensor), so bytes/s — not FLOP/s — is the binding
+    resource for denoise, and an 'MFU 0.2' there is the roofline, not a
+    deficiency."""
     n = 256 * 1024 * 1024  # 1 GiB of f32
     x = jnp.zeros((n,), jnp.float32)
 
     @jax.jit
-    def touch(x):
-        return x + 1.0
+    def touch(x, k):
+        return jax.lax.fori_loop(0, k, lambda i, y: y + 1.0, x)
 
-    x = touch(x)  # compile + materialize on device
-    _ = np.asarray(x[:1])
+    def timed(k):
+        t0 = time.time()
+        y = touch(x, jnp.int32(k))
+        _ = np.asarray(y[:1])
+        return time.time() - t0
+
+    timed(1)  # compile + first-dispatch penalty
     best = 0.0
     for _ in range(reps):
-        t0 = time.time()
-        y = touch(x)
-        _ = np.asarray(y[:1])
-        gb_s = 2.0 * 4.0 * n / (time.time() - t0) / 1e9
-        if gb_s <= HBM_CAP_GB_S:
-            best = max(best, gb_s)
+        t_small, t_big = timed(k_small), timed(k_big)
+        if t_big > t_small:
+            gb_s = ((k_big - k_small) * 2.0 * 4.0 * n
+                    / (t_big - t_small) / 1e9)
+            if gb_s <= HBM_CAP_GB_S:
+                best = max(best, gb_s)
     return {"measured_hbm_gb_s": round(best, 0),
             "hbm_unreliable": not (0 < best <= HBM_CAP_GB_S)}
 
