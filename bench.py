@@ -318,10 +318,12 @@ def _wait_for_device(retries: int = 5, delay: float = 10.0):
             time.sleep(delay)
 
 
-def bench_denoise_bf16(raw) -> dict:
+def bench_denoise_bf16(raw):
     """Denoise@4k in the documented bf16 opt-in fast mode (CLI:
     --precision bf16): micrographs/sec for the denoise stage alone,
-    showing the measured headroom over the f32 parity default."""
+    showing the measured headroom over the f32 parity default. Returns
+    (stats, bytes_accessed) — the compiled program's own bytes-accessed
+    figure feeds the HBM-utilization roofline."""
     from topaz_tpu.models.denoise_factory import apply_fn_for, load_denoiser
 
     dmeta, dparams = load_denoiser("unet")
