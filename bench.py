@@ -87,7 +87,7 @@ HBM_CAP_GB_S = 1.25 * V5E_DATASHEET_HBM_GB_S
 
 
 def bench_hbm_peak(reps: int = 3, k_small: int = 16,
-                   k_big: int = 256) -> dict:
+                   k_big: int = 256, n: int = 256 * 1024 * 1024) -> dict:
     """Measured HBM streaming bandwidth of THIS chip, by two-point
     differencing: ONE compiled program runs ``k`` loop-carried
     elementwise passes (y = y + 1) over a 1 GiB f32 array, with ``k`` a
@@ -102,8 +102,8 @@ def bench_hbm_peak(reps: int = 3, k_small: int = 16,
     U-Net's top levels are HBM-bound (64ch x 4096^2 activations are
     ~2 GiB in bf16 per tensor), so bytes/s — not FLOP/s — is the binding
     resource for denoise, and an 'MFU 0.2' there is the roofline, not a
-    deficiency."""
-    n = 256 * 1024 * 1024  # 1 GiB of f32
+    deficiency. ``n`` (f32 elements; default 1 GiB) is a parameter only
+    so device-free tests can exercise the plumbing."""
     x = jnp.zeros((n,), jnp.float32)
 
     @jax.jit

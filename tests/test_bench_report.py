@@ -72,6 +72,17 @@ def test_mfu_formula_sane():
     assert 0.05 < mfu_train < 1.0
 
 
+def test_hbm_two_point_plumbing():
+    """bench_hbm_peak's two-point differencing returns the published dict
+    shape on any backend (tiny array on CPU here); the result is either a
+    positive in-cap bandwidth or flagged unreliable — never silent junk."""
+    b = _bench()
+    r = b.bench_hbm_peak(reps=2, k_small=1, k_big=64, n=65536)
+    assert set(r) == {"measured_hbm_gb_s", "hbm_unreliable"}
+    if not r["hbm_unreliable"]:
+        assert 0 < r["measured_hbm_gb_s"] <= b.HBM_CAP_GB_S
+
+
 def test_bytes_accessed_best_effort():
     """_bytes_accessed returns a positive float (or None on backends
     without the field) and never raises — it gates the published HBM
